@@ -1,0 +1,138 @@
+"""Non-scattering microwave radiative transfer along a slant path.
+
+The physics the reference obtains from PyRTlib's downwelling RTE
+(`rte.satellite = False`, /root/reference/python_src/proc/
+PyRTlib_processing.py:126): thermal emission of each layer, attenuated by the
+opacity between the layer and the ground-based radiometer, plus the cosmic
+background attenuated by the whole column.  Planck radiance throughout
+(converted to Planck-equivalent brightness temperature at the end), with a
+linear-in-tau source function inside each layer (Schroeder & Westwater 1991).
+
+Everything is expressed per frequency so the same functions serve the
+14-channel HATPRO forward operator and the 50k-point monochromatic grid; the
+frequency axis is the leading axis of `alpha`.
+"""
+
+import jax.numpy as jnp
+
+from ..constants import physics as phys
+
+
+def planck_tb(t_k, f_ghz):
+    """Planck radiance expressed in temperature units [K].
+
+    B*(T) = (h f / k) / (exp(h f / k T) - 1).  Inverts with `inverse_planck_tb`.
+    """
+    x = phys.HK_GHZ * f_ghz
+    return x / jnp.expm1(x / t_k)
+
+
+def inverse_planck_tb(b, f_ghz):
+    """Invert `planck_tb`: brightness temperature [K] from radiance-in-K."""
+    x = phys.HK_GHZ * f_ghz
+    return x / jnp.log1p(x / b)
+
+
+def layer_opacities(alpha, ds_km):
+    """Trapezoidal layer opacities [nepers] from level absorption.
+
+    Args:
+      alpha: (..., L) absorption [Np/km] at the L levels (ground -> top).
+      ds_km: (..., L-1) slant path through each layer [km].
+    Returns:
+      (..., L-1) opacity per layer.
+    """
+    return 0.5 * (alpha[..., :-1] + alpha[..., 1:]) * ds_km
+
+
+def _emission_factors(dtau):
+    """Linear-in-tau layer emission weights (g_bot, g_top).
+
+    For a layer of opacity d with source B varying linearly from B_bot to
+    B_top (tau measured from the layer bottom), the emission reaching the
+    layer bottom is  g_bot*B_bot + g_top*B_top  with
+        g_bot = 1 - e^-d - g_top,   g_top = (1 - (1+d) e^-d) / d.
+    A second-order Taylor series covers d -> 0.
+    """
+    # The exact numerator 1-(1+d)e^-d ~ d^2/2 cancels catastrophically in
+    # float32 below d ~ 0.03; a 3-term Taylor series covers that range to
+    # ~1e-7 absolute (next term d^4/30).
+    small = dtau < 0.03
+    d = jnp.where(small, 1.0, dtau)  # avoid 0/0 in the untaken branch
+    em = jnp.exp(-d)
+    g_top_exact = (1.0 - (1.0 + d) * em) / d
+    g_top_series = dtau * (0.5 - dtau / 3.0 + dtau * dtau / 8.0)
+    g_top = jnp.where(small, g_top_series, g_top_exact)
+    g_total_exact = -jnp.expm1(-dtau)
+    g_bot = g_total_exact - g_top
+    return g_bot, g_top
+
+
+def downwelling_tb(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
+    """Downwelling brightness temperature at the observer (ground) level.
+
+    Args:
+      alpha: (F, L) absorption [Np/km] at levels, ground -> top.
+      ds_km: (L-1,) or (F, L-1) slant path lengths [km].
+      t_k:   (L,) level temperatures [K].
+      f_ghz: (F,) frequencies [GHz].
+      t_cosmic: cosmic background temperature [K].
+
+    Returns:
+      dict with
+        tb:        (F,) Planck-equivalent brightness temperature [K]
+        tau_total: (F,) total slant opacity [nepers]
+        trans_level: (F, L) transmittance ground -> each level
+        t_mr:      (F,) mean radiating temperature [K]
+    """
+    f = f_ghz[:, None] if jnp.ndim(f_ghz) else f_ghz
+    dtau = layer_opacities(alpha, ds_km)  # (F, L-1)
+    # Cumulative opacity from the ground to the *bottom* of each layer.
+    tau_below = jnp.cumsum(dtau, axis=-1) - dtau
+    tau_total = tau_below[..., -1] + dtau[..., -1]
+    trans_below = jnp.exp(-tau_below)           # (F, L-1)
+    trans_level = jnp.exp(
+        -jnp.concatenate([jnp.zeros_like(dtau[..., :1]), jnp.cumsum(dtau, axis=-1)], axis=-1)
+    )                                            # (F, L)
+
+    b = planck_tb(t_k, f)                        # (F, L) source at levels
+    g_bot, g_top = _emission_factors(dtau)       # (F, L-1)
+    layer_emission = g_bot * b[..., :-1] + g_top * b[..., 1:]
+
+    atm = jnp.sum(layer_emission * trans_below, axis=-1)
+    cosmic = planck_tb(t_cosmic, f_ghz) * jnp.exp(-tau_total)
+    radiance = atm + cosmic
+    tb = inverse_planck_tb(radiance, f_ghz)
+
+    # Mean radiating temperature: Tmr = atm_radiance / (1 - e^-tau), in Tb units.
+    t_mr = inverse_planck_tb(
+        atm / jnp.maximum(-jnp.expm1(-tau_total), 1e-10), f_ghz
+    )
+    return {"tb": tb, "tau_total": tau_total, "trans_level": trans_level, "t_mr": t_mr}
+
+
+def upwelling_tb(alpha, ds_km, t_k, f_ghz, t_surface=None, emissivity=1.0,
+                 t_cosmic=phys.T_COSMIC):
+    """Upwelling TB at the top of the column (satellite view), for parity with
+    PyRTlib's `satellite=True` mode.  Surface treated as specular with the
+    given emissivity; t_surface defaults to the lowest level temperature."""
+    dtau = layer_opacities(alpha, ds_km)
+    tau_total = jnp.sum(dtau, axis=-1)
+    # Opacity from each layer *top* to the column top.
+    tau_above = jnp.flip(jnp.cumsum(jnp.flip(dtau, -1), -1), -1) - dtau
+    trans_above = jnp.exp(-tau_above)
+
+    f = f_ghz[:, None] if jnp.ndim(f_ghz) else f_ghz
+    b = planck_tb(t_k, f)
+    # Looking down: emission weights mirror (top boundary takes g_bot role).
+    g_bot, g_top = _emission_factors(dtau)
+    layer_emission = g_bot * b[..., 1:] + g_top * b[..., :-1]
+    atm_up = jnp.sum(layer_emission * trans_above, axis=-1)
+
+    ts = t_k[..., 0] if t_surface is None else t_surface
+    down = downwelling_tb(alpha, ds_km, t_k, f_ghz, t_cosmic)
+    surface = (
+        emissivity * planck_tb(ts, f_ghz)
+        + (1.0 - emissivity) * planck_tb(down["tb"], f_ghz)
+    ) * jnp.exp(-tau_total)
+    return {"tb": inverse_planck_tb(atm_up + surface, f_ghz), "tau_total": tau_total}

@@ -1,0 +1,37 @@
+"""Test harness configuration.
+
+The test suite runs on CPU with 8 virtual devices so multi-chip sharding is
+exercised without TPU hardware (the standard
+`--xla_force_host_platform_device_count` fake-multi-device backend — SURVEY.md
+section 4).  The container's sitecustomize pre-imports jax bound to the
+tunneled `axon` TPU platform, where *eager* dispatch round-trips the network
+per op; `jax.config.update` below re-targets the (not yet initialized)
+backend to CPU before any array is created.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_platforms", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+
+@pytest.fixture(scope="session")
+def demo_batch():
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+    return lbl.demo_batch(4)
+
+
+@pytest.fixture(scope="session")
+def demo_profile_np():
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+    return {k: np.asarray(v) for k, v in lbl.demo_profile(64).items()}

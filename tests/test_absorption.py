@@ -1,0 +1,113 @@
+"""Physics checks for the vendored Rosenkranz absorption models.
+
+Checkpoints are well-known magnitudes from the microwave-radiometry
+literature (the reference has no unit tests, SURVEY.md section 4; these anchor
+the native line tables instead)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mwr_fast_forward_operators_and_lbls_tpu.constants.h2o_lines import H2O_MODELS
+from mwr_fast_forward_operators_and_lbls_tpu.constants.o2_lines import O2_MODELS
+from mwr_fast_forward_operators_and_lbls_tpu.ops.absorption import (
+    h2o_absorption,
+    liquid_absorption,
+    n2_absorption,
+    o2_absorption,
+    total_absorption,
+)
+
+SFC = dict(p=1013.0, t=288.0, rho=7.5)  # moist surface layer
+
+
+def db_per_km(alpha_np_km):
+    return alpha_np_km * 4.342944819
+
+
+def test_o2_60ghz_magnitude():
+    # Sea-level zenith O2 absorption at 60 GHz is ~14-16 dB/km.
+    a = float(o2_absorption(60.0, SFC["p"], SFC["t"], SFC["rho"]))
+    assert 13.0 < db_per_km(a) < 18.0
+
+
+def test_o2_window_magnitude():
+    # 31.4 GHz window: O2 contributes ~0.02-0.04 dB/km.
+    a = float(o2_absorption(31.4, SFC["p"], SFC["t"], SFC["rho"]))
+    assert 0.01 < db_per_km(a) < 0.06
+
+
+def test_h2o_22ghz_magnitude():
+    # 22.235 GHz line peak at 7.5 g/m^3: ~0.15-0.22 dB/km.
+    a = float(h2o_absorption(22.235, SFC["p"], SFC["t"], SFC["rho"]))
+    assert 0.10 < db_per_km(a) < 0.30
+
+
+def test_h2o_scales_with_vapor():
+    a1 = float(h2o_absorption(22.235, SFC["p"], SFC["t"], 5.0))
+    a2 = float(h2o_absorption(22.235, SFC["p"], SFC["t"], 10.0))
+    # line term linear in rho, self-continuum quadratic -> ratio in (2, 2.5)
+    assert 1.9 < a2 / a1 < 2.6
+
+
+def test_o2_pressure_broadening_shifts_peak():
+    # At low pressure the 60-GHz complex resolves into lines: absorption at
+    # line center 60.306 GHz relative to 60.8 GHz (between lines) must grow.
+    hi = float(o2_absorption(60.306, 1013.0, 250.0, 0.0)) / float(
+        o2_absorption(60.80, 1013.0, 250.0, 0.0)
+    )
+    lo = float(o2_absorption(60.306, 50.0, 250.0, 0.0)) / float(
+        o2_absorption(60.80, 50.0, 250.0, 0.0)
+    )
+    assert lo > 5.0 * hi
+
+
+def test_nonnegative_everywhere():
+    f = jnp.linspace(15.0, 120.0, 211)
+    for p, t, rho in [(1013.0, 310.0, 25.0), (500.0, 250.0, 0.5), (50.0, 210.0, 0.001)]:
+        a = total_absorption(f, p, t, rho, model="R24")
+        assert np.all(np.asarray(a) >= 0.0)
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
+@pytest.mark.parametrize("model", ["R98", "R17", "R20", "R24"])
+def test_model_variants_close_but_distinct(model):
+    f = jnp.asarray([22.24, 31.4, 51.26, 58.0])
+    a = np.asarray(total_absorption(f, SFC["p"], SFC["t"], SFC["rho"], model=model))
+    a98 = np.asarray(total_absorption(f, SFC["p"], SFC["t"], SFC["rho"], model="R98"))
+    # Same physics family: within 15 % of each other everywhere.
+    np.testing.assert_allclose(a, a98, rtol=0.15)
+    if model != "R98":
+        assert np.any(np.abs(a - a98) > 0)
+
+
+def test_liquid_absorption_magnitude_and_freq_scaling():
+    # Rayleigh cloud absorption ~ f^2; ~0.14 Np/km per g/m^3 at 31.4 GHz, 283 K.
+    a31 = float(liquid_absorption(31.4, 283.0, 1.0))
+    a22 = float(liquid_absorption(22.24, 283.0, 1.0))
+    assert 0.08 < a31 < 0.25
+    assert 1.5 < a31 / a22 < 2.6  # ~ (31.4/22.24)^2 = 2.0
+    assert float(liquid_absorption(31.4, 283.0, 0.0)) == 0.0
+
+
+def test_n2_continuum_small_but_positive():
+    a = float(n2_absorption(31.4, 1013.0, 288.0))
+    assert 0.0 < db_per_km(a) < 0.005
+
+
+def test_broadcasting_shapes():
+    f = jnp.linspace(20.0, 60.0, 8)[:, None]
+    p = jnp.linspace(1013.0, 300.0, 5)[None, :]
+    t = jnp.linspace(288.0, 230.0, 5)[None, :]
+    rho = jnp.linspace(7.0, 0.01, 5)[None, :]
+    a = total_absorption(f, p, t, rho, model="R17")
+    assert a.shape == (8, 5)
+
+
+def test_tables_have_expected_sizes():
+    for m in H2O_MODELS.values():
+        assert m.fl.shape == (15,)
+    for m in O2_MODELS.values():
+        assert m.f.shape == (40,)
+        # 60-GHz complex mixing coefficients sum to ~0 (sum rule)
+        assert abs(float(np.sum(m.y300[:34] * m.s300[:34])) / float(np.sum(np.abs(m.y300[:34]) * m.s300[:34]))) < 0.2

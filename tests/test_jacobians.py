@@ -1,0 +1,88 @@
+"""K-matrix tests: autodiff Jacobians vs finite differences (SURVEY.md
+section 4 target: 'autodiff-Jacobian vs finite-difference checks')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mwr_fast_forward_operators_and_lbls_tpu.models import jacobians, lbl
+
+jax.config.update("jax_enable_x64", False)
+
+F_SUB = (22.24, 31.4, 54.94)
+
+
+@pytest.fixture(scope="module")
+def prof():
+    p = lbl.demo_profile(48, seed=3)
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def _tb(prof, t=None, rho=None, lwc=None):
+    return lbl.forward_single(
+        prof["z"], prof["p"],
+        prof["t"] if t is None else t,
+        prof["rho"] if rho is None else rho,
+        prof["lwc"] if lwc is None else lwc,
+        jnp.asarray(F_SUB), 30.0, "R24",
+    )["tb"]
+
+
+def test_kmatrix_temperature_vs_fd(prof):
+    k = jacobians.kmatrix_single(
+        prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],
+        jnp.asarray(F_SUB), 30.0, "R24", wrt=("t",),
+    )["t"]
+    # Central differences on a few levels.
+    for lev in [0, 10, 30]:
+        dt = 0.5
+        tp = prof["t"].at[lev].add(dt)
+        tm = prof["t"].at[lev].add(-dt)
+        fd = (np.asarray(_tb(prof, t=tp)) - np.asarray(_tb(prof, t=tm))) / (2 * dt)
+        np.testing.assert_allclose(np.asarray(k[:, lev]), fd, atol=5e-3)
+
+
+def test_kmatrix_vapor_vs_fd(prof):
+    k = jacobians.kmatrix_single(
+        prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],
+        jnp.asarray(F_SUB), 30.0, "R24", wrt=("rho",),
+    )["rho"]
+    for lev in [0, 15]:
+        dr = 0.05
+        rp = prof["rho"].at[lev].add(dr)
+        rm = prof["rho"].at[lev].add(-dr)
+        fd = (np.asarray(_tb(prof, rho=rp)) - np.asarray(_tb(prof, rho=rm))) / (2 * dr)
+        np.testing.assert_allclose(np.asarray(k[:, lev]), fd, atol=2e-2)
+
+
+def test_kmatrix_liquid_positive_in_windows(prof):
+    k = jacobians.kmatrix_single(
+        prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],
+        jnp.asarray(F_SUB), 90.0, "R24", wrt=("lwc",),
+    )["lwc"]
+    # Adding liquid in the low troposphere warms the semi-transparent channels.
+    assert np.all(np.asarray(k[0, 2:20]) > 0.0)  # 22.24 GHz
+    assert np.all(np.asarray(k[1, 2:20]) > 0.0)  # 31.4 GHz
+
+
+def test_kmatrix_temperature_sign_in_opaque_channel(prof):
+    # In an opaque channel, TB ~ near-observer air temperature: warming the
+    # lowest levels must warm TB.
+    k = jacobians.kmatrix_single(
+        prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],
+        jnp.asarray((58.0,)), 90.0, "R24", wrt=("t",),
+    )["t"]
+    assert np.all(np.asarray(k[0, :5]) > 0.0)
+    # And the total temperature sensitivity integrates to ~1 (energy balance).
+    assert 0.7 < float(jnp.sum(k[0])) < 1.3
+
+
+def test_kmatrix_batch_shapes(prof):
+    profiles = {k: v[None, :].repeat(2, 0) for k, v in prof.items()}
+    cfg = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 4.2),
+                        freqs_ghz=F_SUB)
+    out = jacobians.kmatrix_batch(profiles, cfg, wrt=("t", "rho"))
+    assert out["t"].shape == (2, 2, 3, 48)
+    assert out["rho"].shape == (2, 2, 3, 48)
+    assert np.all(np.isfinite(np.asarray(out["t"])))

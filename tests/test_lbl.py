@@ -1,0 +1,95 @@
+"""End-to-end LBL forward-operator tests (the reference's cross-model
+consistency protocol, SURVEY.md section 4, promoted to assertions)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return lbl.LBLConfig(elevations_deg=(90.0, 30.0, 4.2))
+
+
+@pytest.fixture(scope="module")
+def out(demo_batch, small_cfg):
+    return lbl.forward_batch(demo_batch, small_cfg)
+
+
+def test_shapes(out, demo_batch, small_cfg):
+    B, L = demo_batch["z"].shape
+    E, F = 3, 14
+    assert out["tb"].shape == (B, E, F)
+    assert out["tau_total"].shape == (B, E, F)
+    assert out["trans_level"].shape == (B, E, F, L)
+    assert np.all(np.isfinite(np.asarray(out["tb"])))
+
+
+def test_tb_physical_range(out):
+    tb = np.asarray(out["tb"])
+    assert tb.min() > 2.7
+    assert tb.max() < 330.0
+
+
+def test_opaque_channels_near_surface_temperature(out, demo_batch):
+    # 56.66-58.0 GHz: tau >> 1 -> TB within a few K of the lowest-level T.
+    tb = np.asarray(out["tb"])[:, 0, -3:]  # zenith, last 3 channels
+    t_sfc = np.asarray(demo_batch["t"])[:, 0]
+    assert np.all(np.abs(tb - t_sfc[:, None]) < 8.0)
+
+
+def test_tb_increases_toward_horizon_in_kband(out):
+    # Longer slant path -> more emission in semi-transparent K-band channels.
+    tb = np.asarray(out["tb"])
+    assert np.all(tb[:, 1, :7] > tb[:, 0, :7])   # 30 deg > zenith
+    assert np.all(tb[:, 2, :7] > tb[:, 1, :7])   # 4.2 deg > 30 deg
+
+
+def test_tau_increases_toward_horizon(out):
+    tau = np.asarray(out["tau_total"])
+    assert np.all(np.diff(tau, axis=1) > 0)
+
+
+def test_cloud_raises_window_tb(demo_batch, small_cfg):
+    clear = dict(demo_batch)
+    clear["lwc"] = jnp.zeros_like(demo_batch["lwc"])
+    tb_clear = np.asarray(lbl.forward_batch(clear, small_cfg)["tb"])
+    tb_cloud = np.asarray(lbl.forward_batch(demo_batch, small_cfg)["tb"])
+    # 31.4 GHz zenith: cloud water adds several K.
+    assert np.all(tb_cloud[:, 0, 6] > tb_clear[:, 0, 6] + 1.0)
+    # Opaque 58 GHz barely changes.
+    assert np.all(np.abs(tb_cloud[:, 0, 13] - tb_clear[:, 0, 13]) < 0.5)
+
+
+def test_models_agree_within_a_kelvin_range(demo_batch, small_cfg):
+    tbs = lbl.forward_all_models(demo_batch, small_cfg)
+    r24 = np.asarray(tbs["R24"])
+    for name, tb in tbs.items():
+        diff = np.abs(np.asarray(tb) - r24)
+        # Same Rosenkranz family: < 3 K at zenith (the reference's
+        # model-vs-LBL bias envelope, BASELINE.md); slant paths amplify the
+        # continuum deltas by the ~11x airmass at 4.2 deg elevation.
+        assert diff[:, 0].max() < 5.0, f"{name} zenith dev {diff[:, 0].max():.2f} K"
+        assert diff.max() < 8.0, f"{name} slant dev {diff.max():.2f} K"
+    assert np.abs(np.asarray(tbs["R98"]) - r24).max() > 0.01
+
+
+def test_forward_single_matches_batch(demo_batch, small_cfg):
+    p0 = {k: v[0] for k, v in demo_batch.items()}
+    single = lbl.forward_single(
+        p0["z"], p0["p"], p0["t"], p0["rho"], p0["lwc"],
+        jnp.asarray(small_cfg.freqs_ghz), 90.0, small_cfg.model,
+    )
+    batch = lbl.forward_batch(demo_batch, small_cfg)
+    np.testing.assert_allclose(
+        np.asarray(single["tb"]), np.asarray(batch["tb"])[0, 0], rtol=0, atol=2e-3
+    )
+
+
+def test_flip_profile_roundtrip(demo_batch):
+    flipped = lbl.flip_profile(demo_batch)
+    back = lbl.flip_profile(flipped)
+    for k in demo_batch:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(demo_batch[k]))
