@@ -85,8 +85,24 @@ def downwelling_tb(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
         trans_level: (F, L) transmittance ground -> each level
         t_mr:      (F,) mean radiating temperature [K]
     """
-    f = f_ghz[:, None] if jnp.ndim(f_ghz) else f_ghz
     dtau = layer_opacities(alpha, ds_km)  # (F, L-1)
+    return downwelling_tb_from_dtau(dtau, t_k, f_ghz, t_cosmic)
+
+
+def downwelling_tb_from_dtau(dtau, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
+    """Downwelling TB given per-layer slant opacities directly.
+
+    Shared RTE core for the LBL (which derives `dtau` from level absorption)
+    and the fast predictor-regression operator (which predicts `dtau`
+    directly, the RTTOV-gb formulation the reference consumes via text
+    protocol, /root/reference/python_src/proc/RTTOV_gb_processing.py:167-305).
+
+    Args:
+      dtau: (F, L-1) layer opacities [nepers], ground -> top.
+      t_k:  (L,) level temperatures [K].
+      f_ghz: (F,) frequencies [GHz].
+    """
+    f = f_ghz[:, None] if jnp.ndim(f_ghz) else f_ghz
     # Cumulative opacity from the ground to the *bottom* of each layer.
     tau_below = jnp.cumsum(dtau, axis=-1) - dtau
     tau_total = tau_below[..., -1] + dtau[..., -1]
