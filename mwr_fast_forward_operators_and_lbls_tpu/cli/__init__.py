@@ -1,0 +1,3 @@
+"""CLI entry points (python -m mwr_fast_forward_operators_and_lbls_tpu.cli)."""
+
+from .main import main  # noqa: F401

@@ -1,0 +1,188 @@
+"""Command-line interface: preprocess | forward | distill | evaluate.
+
+Replaces the reference's bash-driven process chain (run_all_procs.sh ->
+per-stage argparse scripts with hard-coded home-directory defaults,
+/root/reference/run_all_procs.sh:1-12) with one typed entry point.  The
+author's own TODO asked for exactly this ("hard-coded params should be
+argparse", /root/reference/Issues_2025_Dec.txt:3-8): channels, angles, grid
+size, and model selection all live in `PipelineConfig`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import sys
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    """The single typed configuration for every stage."""
+
+    models: tuple = ("R98", "R17", "R20", "R24")
+    elevations_deg: tuple = (90.0, 30.0, 19.2, 14.4, 11.4, 8.4, 6.6, 5.4,
+                             4.8, 4.2)
+    n_levels: int = 180
+    batch_size: int = 256
+    with_jacobians: bool = False
+    compat_aliases: bool = False
+    distill_steps: int = 0
+    teacher_model: str = "R24"
+
+    @classmethod
+    def from_args(cls, args) -> "PipelineConfig":
+        kw = {}
+        for f in ("models", "batch_size", "with_jacobians", "compat_aliases",
+                  "distill_steps", "teacher_model"):
+            if getattr(args, f, None) is not None:
+                kw[f] = getattr(args, f)
+        if isinstance(kw.get("models"), str):
+            kw["models"] = tuple(kw["models"].split(","))
+        return cls(**kw)
+
+
+def _parse_mwr_specs(specs: list) -> dict:
+    """["joyhat=/path/glob", ...] -> {instrument: [files]}"""
+    out = {}
+    for spec in specs or []:
+        inst, pattern = spec.split("=", 1)
+        out.setdefault(inst, []).extend(sorted(globmod.glob(pattern)))
+    return out
+
+
+def cmd_preprocess(args) -> int:
+    from ..data import netcdf, preprocess
+
+    files = sorted(globmod.glob(args.sondes))
+    if not files:
+        print(f"no sonde files match {args.sondes!r}", file=sys.stderr)
+        return 1
+    ds = preprocess.preprocess_files(
+        files, args.campaign, args.location,
+        mwr_files=_parse_mwr_specs(args.mwr) or None)
+    netcdf.write(args.output, ds)
+    print(f"wrote {args.output}: {ds.dims}")
+    return 0
+
+
+def cmd_forward(args) -> int:
+    from ..data import netcdf
+    from ..models import fast
+    from ..pipeline import forward_stage
+
+    cfg = PipelineConfig.from_args(args)
+    ds = netcdf.read(args.input)
+    params = None
+    if args.fast_params:
+        params = fast.load_params(args.fast_params)
+    elif args.distill:
+        params = fast.distill_on_dataset(
+            ds, fast.FastConfig(teacher_model=cfg.teacher_model),
+            steps=cfg.distill_steps)
+    ds = forward_stage(ds, models=cfg.models, fast_params=params,
+                       with_jacobians=cfg.with_jacobians,
+                       batch_size=cfg.batch_size)
+    if cfg.compat_aliases:
+        from ..eval import deviations
+        ds = deviations.compat_aliases(ds)
+    netcdf.write(args.output, ds)
+    print(f"wrote {args.output} with models {cfg.models}"
+          + (" + fast operator" if params is not None else ""))
+    return 0
+
+
+def cmd_distill(args) -> int:
+    from ..data import netcdf
+    from ..models import fast
+
+    cfg = PipelineConfig.from_args(args)
+    ds = netcdf.read(args.input)
+    params = fast.distill_on_dataset(
+        ds, fast.FastConfig(teacher_model=cfg.teacher_model),
+        steps=cfg.distill_steps)
+    fast.save_params(params, args.output)
+    print(f"wrote fast-operator coefficients to {args.output}")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from ..data import netcdf
+    from ..eval import plots
+    from ..pipeline import merge
+
+    ds = netcdf.read(args.input)
+    ds = merge.analysis_dataset(ds, compat=args.compat_aliases or False)
+    if args.output:
+        netcdf.write(args.output, ds)
+        print(f"wrote analysis dataset {args.output}")
+    paths = plots.standard_report(ds, args.outdir)
+    print(f"wrote {len(paths)} figures to {args.outdir}")
+    return 0
+
+
+def cmd_config(args) -> int:
+    print(json.dumps(asdict(PipelineConfig()), indent=2, default=list))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwr-tpu",
+        description="TPU-native ground-based MWR radiative-transfer pipeline")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("preprocess", help="raw files -> harmonized dataset")
+    sp.add_argument("--sondes", required=True, help="radiosonde glob")
+    sp.add_argument("--campaign", default="campaign")
+    sp.add_argument("--location", default="site")
+    sp.add_argument("--mwr", action="append",
+                    help="instrument=glob (repeatable)")
+    sp.add_argument("-o", "--output", required=True)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sf = sub.add_parser("forward", help="harmonized dataset -> model TBs")
+    sf.add_argument("-i", "--input", required=True)
+    sf.add_argument("-o", "--output", required=True)
+    sf.add_argument("--models", default=None,
+                    help="comma list, e.g. R98,R17,R20,R24")
+    sf.add_argument("--fast-params", default=None,
+                    help="npz with fast-operator coefficients")
+    sf.add_argument("--distill", action="store_true",
+                    help="fit the fast operator on this dataset first")
+    sf.add_argument("--with-jacobians", dest="with_jacobians",
+                    action="store_true", default=None)
+    sf.add_argument("--compat", dest="compat_aliases", action="store_true",
+                    default=None, help="add reference-schema variable names")
+    sf.add_argument("--batch-size", type=int, default=None)
+    sf.set_defaults(fn=cmd_forward)
+
+    sd = sub.add_parser("distill", help="train fast-operator coefficients")
+    sd.add_argument("-i", "--input", required=True)
+    sd.add_argument("-o", "--output", required=True)
+    sd.add_argument("--steps", dest="distill_steps", type=int, default=None)
+    sd.add_argument("--teacher", dest="teacher_model", default=None)
+    sd.set_defaults(fn=cmd_distill)
+
+    se = sub.add_parser("evaluate", help="analysis dataset + figure report")
+    se.add_argument("-i", "--input", required=True)
+    se.add_argument("-o", "--output", default=None,
+                    help="optionally write the analysis NetCDF")
+    se.add_argument("--outdir", default="plots")
+    se.add_argument("--compat", dest="compat_aliases", action="store_true",
+                    default=None)
+    se.set_defaults(fn=cmd_evaluate)
+
+    sc = sub.add_parser("config", help="print the default typed config")
+    sc.set_defaults(fn=cmd_config)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

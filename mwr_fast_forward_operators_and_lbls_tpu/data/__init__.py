@@ -1,0 +1,3 @@
+"""Data layer: NetCDF I/O, ingest, cloud water, preprocessing pipeline."""
+
+from .dataset import Dataset, Variable, concat  # noqa: F401

@@ -1,0 +1,3 @@
+"""Evaluation layer: statistics, sky classification, deviations, plots."""
+
+from . import deviations, sky, stats  # noqa: F401

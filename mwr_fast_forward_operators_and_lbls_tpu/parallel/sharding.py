@@ -111,4 +111,5 @@ def srf_convolve(tb_mono: jax.Array, weights: jax.Array) -> jax.Array:
     wsum = jnp.sum(weights, axis=-1, keepdims=True)
     return jnp.einsum("...f,cf->...c", tb_mono,
                       weights / jnp.maximum(wsum, 1e-30),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -1,0 +1,148 @@
+"""Forward stage: harmonized dataset -> model brightness temperatures.
+
+The L2 layer of the reference pipeline — three separate processes driving
+PyRTlib in-process and RTTOV-gb / ARMS-gb through file protocols
+(/root/reference/python_src/proc/{PyRTlib,RTTOV_gb,ARMS_gb}_processing.py) —
+collapsed into one jitted batched computation per model on the TPU mesh.
+
+Output variables appended to the dataset (reference parity,
+RTTOV_gb_processing.py:364-434 and PyRTlib_processing.py:161-195):
+
+    TBs_LBL_<model>   (time, N_Channels, elevation, Crop)   [K]
+    TBs_Fast          (time, N_Channels, elevation, Crop)   [K]
+    ttrans_Fast       (time, N_Channels, elevation, Crop)   surface-to-space
+    levtrans_Fast     (time, N_Channels, N_Levels, elevation, Crop)
+    Jacobian_{T,ppmv,liq}_LBL (time, N_Channels, elevation, N_Levels, Crop)
+
+NaN-profile screening follows the reference's validity protocol
+(check_for_nans, PyRTlib_processing.py:71-79): invalid profiles produce NaN
+outputs rather than aborting the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import hatpro
+from ..data import preprocess
+from ..data.dataset import Dataset, Variable
+from ..models import fast as fast_mod
+from ..models import jacobians as jac_mod
+from ..models import lbl as lbl_mod
+
+
+def _valid_mask(profiles: dict) -> np.ndarray:
+    """(B,) True where every level of every variable is finite."""
+    mask = np.ones(profiles["z"].shape[0], bool)
+    for v in profiles.values():
+        mask &= np.isfinite(np.asarray(v)).all(axis=1)
+    return mask
+
+
+def _screen(profiles: dict):
+    """Replace invalid profiles by a benign stand-in so the batched kernel
+    stays NaN-free; caller masks the outputs back to NaN."""
+    mask = _valid_mask(profiles)
+    if mask.all():
+        return profiles, mask
+    good = int(np.argmax(mask)) if mask.any() else None
+    out = {}
+    for k, v in profiles.items():
+        v = np.array(v, copy=True)
+        if good is None:
+            stand_in = np.linspace(1.0, 2.0, v.shape[1], dtype=v.dtype)
+            if k == "p":
+                stand_in = np.linspace(1000.0, 100.0, v.shape[1], dtype=v.dtype)
+            if k == "t":
+                stand_in = np.full(v.shape[1], 250.0, v.dtype)
+            if k == "z":
+                stand_in = np.linspace(0.0, 20000.0, v.shape[1], dtype=v.dtype)
+            v[~mask] = stand_in
+        else:
+            v[~mask] = v[good]
+        out[k] = v
+    return out, mask
+
+
+def forward_stage(ds: Dataset,
+                  models: tuple = ("R98", "R17", "R20", "R24"),
+                  fast_params: dict | None = None,
+                  with_jacobians: bool = False,
+                  batch_size: int = 256) -> Dataset:
+    """Run the native LBL (all `models`) and optionally the fast operator and
+    K-matrix over every (time, Crop) profile at the 10 BL-scan elevations;
+    append results to `ds` in the reference layout."""
+    n_time = ds.dims["time"]
+    n_lev = ds.dims["N_Levels"]
+    nc, ne = hatpro.N_CHANNELS, hatpro.N_ELEVATIONS
+
+    lbl_out = {m: np.full((n_time, nc, ne, 2), np.nan, "f4") for m in models}
+    fast_tb = np.full((n_time, nc, ne, 2), np.nan, "f4")
+    fast_ttrans = np.full((n_time, nc, ne, 2), np.nan, "f4")
+    fast_levtrans = np.full((n_time, nc, n_lev, ne, 2), np.nan, "f4")
+    jac = {name: np.full((n_time, nc, ne, n_lev, 2), np.nan, "f4")
+           for name in ("t", "rho", "lwc")} if with_jacobians else {}
+
+    for crop in (0, 1):
+        raw = preprocess.profiles_for_forward(ds, crop=crop)
+        profiles, mask = _screen(raw)
+        if not mask.any():
+            continue
+        for start in range(0, n_time, batch_size):
+            sl = slice(start, min(start + batch_size, n_time))
+            chunk = {k: jnp.asarray(v[sl]) for k, v in profiles.items()}
+            bmask = mask[sl]
+            for m in models:
+                cfg = lbl_mod.LBLConfig(model=m)
+                out = lbl_mod.forward_batch(chunk, cfg)
+                tb = np.array(out["tb"])            # (B, E, F)
+                tb[~bmask] = np.nan
+                lbl_out[m][sl, ..., crop] = np.transpose(tb, (0, 2, 1))
+            if fast_params is not None:
+                fout = fast_mod.fast_forward_batch(fast_params, chunk)
+                tb = np.array(fout["tb"])
+                tt = np.exp(-np.asarray(fout["tau_total"]))
+                lt = np.array(fout["trans_level"])  # (B, E, F, L-1+1)
+                tb[~bmask] = np.nan
+                tt[~bmask] = np.nan
+                lt[~bmask] = np.nan
+                fast_tb[sl, ..., crop] = np.transpose(tb, (0, 2, 1))
+                fast_ttrans[sl, ..., crop] = np.transpose(tt, (0, 2, 1))
+                fast_levtrans[sl, ..., crop] = np.transpose(lt, (0, 2, 3, 1))
+            if with_jacobians:
+                kcfg = lbl_mod.LBLConfig(model=models[-1])
+                kout = jac_mod.kmatrix_batch(chunk, kcfg,
+                                             wrt=("t", "rho", "lwc"))
+                for name in jac:
+                    kk = np.array(kout[name])        # (B, E, F, L)
+                    kk[~bmask] = np.nan
+                    jac[name][sl, ..., crop] = np.transpose(kk, (0, 2, 1, 3))
+
+    mdims = ("time", "N_Channels", "elevation", "Crop")
+    for m in models:
+        ds[f"TBs_LBL_{m}"] = Variable(
+            mdims, lbl_out[m],
+            {"units": "K",
+             "long_name": f"native LBL brightness temperatures ({m} "
+                          "absorption)",
+             "comment": "replaces TBs_PyRTlib_" + m})
+    if fast_params is not None:
+        ds["TBs_Fast"] = Variable(mdims, fast_tb, {
+            "units": "K",
+            "long_name": "fast predictor-regression operator TBs",
+            "comment": "replaces TBs_RTTOV_gb / TBs_ARMS_gb"})
+        ds["ttrans_Fast"] = Variable(mdims, fast_ttrans, {
+            "long_name": "surface-to-space transmittance"})
+        ds["levtrans_Fast"] = Variable(
+            ("time", "N_Channels", "N_Levels", "elevation", "Crop"),
+            fast_levtrans, {"long_name": "level-to-surface transmittance"})
+    name_map = {"t": "T", "rho": "rho", "lwc": "liq"}
+    for name, arr in jac.items():
+        ds[f"Jacobian_{name_map[name]}_LBL"] = Variable(
+            ("time", "N_Channels", "elevation", "N_Levels", "Crop"), arr,
+            {"long_name": f"dTB/d{name} K-matrix (autodiff)",
+             "comment": "replaces Jacobian_*_RTTOV_gb (Fortran adjoint)"})
+    return ds

@@ -1,0 +1,65 @@
+"""CLI: the full preprocess -> distill -> forward -> evaluate chain through
+the typed entry point (replacing the reference's run_all_procs.sh)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mwr_fast_forward_operators_and_lbls_tpu.cli.main import main
+from mwr_fast_forward_operators_and_lbls_tpu.data import netcdf, synthetic
+
+
+@pytest.fixture(scope="module")
+def raw(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    for i, stamp in enumerate(("20240805_102936", "20240806_102936")):
+        synthetic.write_sonde_nc_arms(str(root / f"{stamp}.nc"), seed=i)
+        launch = np.datetime64(f"2024-08-0{5+i}T10:29:36")
+        synthetic.write_mwr_l1(str(root / f"l1_{i}.nc"), launch, seed=i)
+    return root
+
+
+def test_cli_pipeline(raw, tmp_path):
+    harm = str(tmp_path / "harmonized.nc")
+    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
+                 "--campaign", "Vital", "--location", "Juelich",
+                 "--mwr", f"joyhat={raw}/l1_*.nc",
+                 "-o", harm]) == 0
+    assert os.path.exists(harm)
+
+    params = str(tmp_path / "fast_params.npz")
+    assert main(["distill", "-i", harm, "-o", params]) == 0
+
+    results = str(tmp_path / "results.nc")
+    assert main(["forward", "-i", harm, "-o", results,
+                 "--models", "R24", "--fast-params", params,
+                 "--compat"]) == 0
+    ds = netcdf.read(results)
+    assert "TBs_LBL_R24" in ds
+    assert "TBs_Fast" in ds
+    assert "TBs_PyRTlib_R24" in ds     # compat alias
+    assert np.isfinite(ds["TBs_LBL_R24"].data).all()
+
+    outdir = str(tmp_path / "plots")
+    analysis = str(tmp_path / "analysis.nc")
+    assert main(["evaluate", "-i", results, "-o", analysis,
+                 "--outdir", outdir]) == 0
+    pngs = [f for f in os.listdir(outdir) if f.endswith(".png")]
+    assert len(pngs) >= 5
+    a = netcdf.read(analysis)
+    assert "cloud_flag" in a
+    assert any(n.startswith("Deviations_") for n in a.variables)
+
+
+def test_cli_config(capsys):
+    assert main(["config"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_levels"] == 180
+    assert out["models"] == ["R98", "R17", "R20", "R24"]
+
+
+def test_cli_missing_sondes(tmp_path):
+    assert main(["preprocess", "--sondes", f"{tmp_path}/nope*.nc",
+                 "-o", str(tmp_path / "x.nc")]) == 1

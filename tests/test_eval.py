@@ -1,0 +1,89 @@
+"""Evaluation statistics + sky classification semantics."""
+
+import numpy as np
+
+from mwr_fast_forward_operators_and_lbls_tpu.data.dataset import Dataset
+from mwr_fast_forward_operators_and_lbls_tpu.eval import sky, stats
+
+
+def test_deviation_stats_definitions():
+    dev = np.array([1.0, 2.0, 3.0, np.nan])
+    out = stats.deviation_stats(dev)
+    assert float(out["n"]) == 3
+    np.testing.assert_allclose(float(out["bias"]), 2.0, atol=1e-6)
+    # population std (1/n), the reference's convention
+    np.testing.assert_allclose(float(out["std"]), np.sqrt(2.0 / 3.0), atol=1e-6)
+    np.testing.assert_allclose(float(out["rmse"]), np.sqrt(14.0 / 3.0), atol=1e-6)
+
+
+def test_stats_identity_relation():
+    """rmse^2 == bias^2 + std^2 for the 1/n definitions."""
+    rng = np.random.default_rng(0)
+    dev = rng.normal(0.5, 2.0, 500).astype(np.float64)
+    out = stats.deviation_stats(dev)
+    np.testing.assert_allclose(
+        float(out["rmse"]) ** 2,
+        float(out["bias"]) ** 2 + float(out["std"]) ** 2, rtol=1e-5)
+
+
+def test_pearson_r():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=200)
+    b = 2 * a + rng.normal(0, 0.1, 200)
+    b[5] = np.nan
+    r = float(stats.pearson_r(a, b))
+    expected = np.corrcoef(np.delete(a, 5), np.delete(b, 5))[0, 1]
+    np.testing.assert_allclose(r, expected, atol=1e-6)
+
+
+def test_stats_by_channel_batched():
+    rng = np.random.default_rng(2)
+    ref = 100 + rng.normal(0, 10, (50, 14))
+    val = ref + 0.7 + rng.normal(0, 0.3, (50, 14))
+    out = stats.stats_by_channel(val, ref, axis=0)
+    assert out["bias"].shape == (14,)
+    assert np.all(np.abs(np.asarray(out["bias"]) - 0.7) < 0.2)
+    assert np.all(np.asarray(out["r"]) > 0.99)
+
+
+def test_common_valid_mask():
+    a = np.array([[1.0, 2.0], [np.nan, 1.0], [3.0, 4.0]])
+    b = np.array([1.0, 2.0, np.nan])
+    mask = np.asarray(stats.common_valid_mask(a, b))
+    np.testing.assert_array_equal(mask, [True, False, False])
+
+
+def _mini_ds(n=6):
+    ds = Dataset()
+    ds["time"] = (("time",), np.arange(n, dtype="f8"), {})
+    ds["Joyhat_LWP"] = (("time",),
+                        np.array([0.0, 0.001, 0.02, 0.5, np.nan, 0.004]), {})
+    ds["LWP_radiosonde"] = (
+        ("time", "Crop"),
+        np.stack([np.array([0.0, 0.0, 0.0, 0.0, 0.3, 0.0])] * 2, 1), {})
+    ds["elevation"] = (("elevation",), np.linspace(90, 4.2, 10), {})
+    return ds
+
+
+def test_cloud_flag_lwp_fallback_and_override():
+    ds = sky.add_cloud_flag(_mini_ds())
+    flag = ds["cloud_flag"].data
+    assert flag.shape == (6, 10)
+    np.testing.assert_array_equal(flag[:, 0], [0, 0, 1, 1, 1, 0])
+    # index 4: LWP NaN but radiosonde liquid override 0.3 > 0.2 -> cloudy
+
+
+def test_cloud_flag_external_primary():
+    ext = np.full((6, 10), np.nan)
+    ext[0, :] = 1.0           # external says cloudy even though LWP ~ 0
+    ds = sky.add_cloud_flag(_mini_ds(), external_flag=ext)
+    flag = ds["cloud_flag"].data
+    assert flag[0, 0] == 1
+    assert flag[1, 0] == 0    # NaN external -> LWP fallback
+
+
+def test_split_clear_cloudy():
+    ds = _mini_ds()
+    clear, cloudy = sky.split_clear_cloudy(ds)
+    assert clear.dims["time"] + cloudy.dims["time"] == 6
+    assert np.all(sky.mean_mwr_lwp(clear) <= sky.LWP_CLEAR_THRESHOLD)

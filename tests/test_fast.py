@@ -36,8 +36,8 @@ def test_closed_form_matches_teacher(fitted):
     profiles, cfg, params, teacher = fitted
     pred = fast.fast_forward_batch(params, profiles, cfg)["tb"]
     err = np.asarray(pred - teacher)
-    assert np.sqrt((err ** 2).mean()) < 0.25, err
-    assert np.abs(err).max() < 1.5
+    assert np.sqrt((err ** 2).mean()) < 0.02, err
+    assert np.abs(err).max() < 0.15
 
 
 def test_generalizes_to_unseen_profiles(fitted):
@@ -46,7 +46,7 @@ def test_generalizes_to_unseen_profiles(fitted):
     teacher = lbl.forward_batch(unseen, lbl.LBLConfig(model="R24"))["tb"]
     pred = fast.fast_forward_batch(params, unseen, cfg)["tb"]
     err = np.asarray(pred - teacher)
-    assert np.sqrt((err ** 2).mean()) < 0.5, err
+    assert np.sqrt((err ** 2).mean()) < 0.05, err
 
 
 def test_train_step_reduces_loss(fitted):
