@@ -37,6 +37,9 @@ class LBLConfig:
     elevations_deg: tuple = tuple(hatpro.ELEVATIONS_DEG.tolist())
     include_liquid: bool = True
     dtype: str = "float32"
+    # Use the fused Pallas absorption kernel (TPU backends only; the pure-XLA
+    # path is the reference implementation and works everywhere).
+    use_pallas: bool = False
 
 
 def flip_profile(profile: dict) -> dict:
@@ -90,6 +93,23 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
     lwc = profiles.get("lwc")
     lwc = jnp.zeros_like(rho) if (lwc is None or not config.include_liquid) \
         else lwc.astype(dtype)
+
+    if config.use_pallas:
+        from ..ops.pallas.absorption_kernel import absorption_batch_fused
+
+        alpha = absorption_batch_fused(config.freqs_ghz,
+                                       {"p": p, "t": t, "rho": rho,
+                                        "lwc": lwc}, config.model)
+
+        def one(zi, pi, ti, ri, ai):
+            e_hpa = thermo.rho_to_e(ri, ti)
+
+            def at_elev(el):
+                ds_km = geometry.slant_path_lengths(zi, pi, ti, e_hpa, el)
+                return rte.downwelling_tb(ai, ds_km, ti, f)
+            return jax.vmap(at_elev)(elevs)
+
+        return jax.vmap(one)(z, p, t, rho, alpha)
 
     def one(zi, pi, ti, ri, li):
         def at_elev(el):
