@@ -11,24 +11,25 @@ author as "very slow" with the sibling mwrpy_sim LBL at ~602 s/profile
 workstation CPU for this 14-channel configuration; we use 1.0 spectra/s as
 the (favourable-to-the-reference) baseline denominator.
 
-Methodology notes: every iteration gets a never-before-seen input
-perturbation and fetches a computed element back to the host — the tunneled
-device runtime memoizes repeated (executable, inputs) pairs and pipelines
-independent dispatches, so naive same-input loops overstate throughput by
-orders of magnitude.
+Methodology: the device is reached through a network tunnel whose ~30 ms
+round trip dwarfs the compute, and the runtime pipelines/memoizes host-side
+dispatches — so naive per-call host timing is meaningless.  We chain K
+dispatches whose inputs depend on the previous output (so the device must
+execute them back-to-back and nothing can be memoized), consume every output
+element (so dead-code elimination cannot drop work), and subtract a
+1-dispatch run to cancel the fixed dispatch + transfer cost — see
+`parallel/profiling.device_time`.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import statistics
-import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+from mwr_fast_forward_operators_and_lbls_tpu.parallel import profiling
 
 BASELINE_SPECTRA_PER_S = 1.0  # reference PyRTlib, sequential CPU
 
@@ -36,28 +37,17 @@ BASELINE_SPECTRA_PER_S = 1.0  # reference PyRTlib, sequential CPU
 def main():
     batch = 1024
     n_elev = 10
-    config = lbl.LBLConfig(model="R24")
+    config = lbl.LBLConfig(model="R24", use_pallas=True, outputs=("tb",))
     profiles = lbl.demo_batch(batch, n_levels=180)
     profiles = jax.device_put(profiles, jax.devices()[0])
 
-    fwd = jax.jit(lambda p, eps: lbl.forward_batch(
-        {**p, "t": p["t"] + eps}, config)["tb"])
-    tb = fwd(profiles, jnp.float32(0.0))
+    tb = lbl.forward_batch(profiles, config)["tb"]
     assert np.isfinite(np.asarray(tb)).all()
 
-    ctr = 0
-    rates = []
-    for _trial in range(4):
-        n_iters = 10
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            ctr += 1
-            # fresh 0.1 mK-scale perturbation defeats result memoization;
-            # the float() fetch forces the device to actually finish.
-            float(fwd(profiles, jnp.float32(ctr) * 1e-4)[0, 0, 0])
-        dt = time.perf_counter() - t0
-        rates.append(batch * n_elev * n_iters / dt)
-    rate = statistics.median(rates)  # drop warm-up outliers
+    per_call = profiling.device_time(
+        lambda pr: lbl.forward_batch(pr, config), (profiles,),
+        iters=40, trials=4)
+    rate = batch * n_elev / per_call
 
     print(json.dumps({
         "metric": "tb_spectra_per_s_per_chip",

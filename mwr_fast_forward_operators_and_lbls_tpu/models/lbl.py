@@ -37,9 +37,13 @@ class LBLConfig:
     elevations_deg: tuple = tuple(hatpro.ELEVATIONS_DEG.tolist())
     include_liquid: bool = True
     dtype: str = "float32"
-    # Use the fused Pallas absorption kernel (TPU backends only; the pure-XLA
-    # path is the reference implementation and works everywhere).
+    # Use the fused Pallas absorption kernel + lanes-batch RTE (interpreted on
+    # CPU; the pure-XLA path is the reference implementation).
     use_pallas: bool = False
+    # Which outputs to materialize.  trans_level is (B, E, F, L) — by far the
+    # largest output and its layout restoration dominates the forward wall
+    # time, so throughput-oriented callers should ask only for what they need.
+    outputs: tuple = ("tb", "tau_total", "t_mr", "trans_level")
 
 
 def flip_profile(profile: dict) -> dict:
@@ -95,28 +99,60 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
         else lwc.astype(dtype)
 
     if config.use_pallas:
-        from ..ops.pallas.absorption_kernel import absorption_batch_fused
-
-        alpha = absorption_batch_fused(config.freqs_ghz,
-                                       {"p": p, "t": t, "rho": rho,
-                                        "lwc": lwc}, config.model)
-
-        def one(zi, pi, ti, ri, ai):
-            e_hpa = thermo.rho_to_e(ri, ti)
-
-            def at_elev(el):
-                ds_km = geometry.slant_path_lengths(zi, pi, ti, e_hpa, el)
-                return rte.downwelling_tb(ai, ds_km, ti, f)
-            return jax.vmap(at_elev)(elevs)
-
-        return jax.vmap(one)(z, p, t, rho, alpha)
+        return _forward_batch_lanes(z, p, t, rho, lwc, f, config)
 
     def one(zi, pi, ti, ri, li):
         def at_elev(el):
             return forward_single(zi, pi, ti, ri, li, f, el, config.model)
         return jax.vmap(at_elev)(elevs)
 
-    return jax.vmap(one)(z, p, t, rho, lwc)
+    out = jax.vmap(one)(z, p, t, rho, lwc)
+    return {k: v for k, v in out.items() if k in config.outputs}
+
+
+def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig):
+    """TPU fast path: fused Pallas absorption + lanes-batch geometry/RTE.
+
+    Profiles are transposed ONCE to the (L, B) "lanes-batch" layout (levels on
+    sublanes, profile batch on lanes); every subsequent reshape is
+    tile-preserving and every op runs on full (8, 128) register tiles.  This
+    is where the XLA-layout path loses a factor ~300: materializing alpha as
+    (B, F, L) with a 180-element minor axis forces relayouts that dwarf the
+    actual physics.
+    """
+    from ..ops.pallas.absorption_kernel import (BLOCK_ROWS, LANES,
+                                                absorption_lb_fused)
+
+    b, l = p.shape
+    # Pad the batch so B is lane-aligned and L*B divides the kernel block.
+    bp = -(-b // LANES) * LANES
+    while (l * bp) % (BLOCK_ROWS * LANES):
+        bp += LANES
+    def prep(a):
+        if bp != b:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (bp - b, l))])
+        return a.T  # (L, Bp)
+
+    zt, pt, tt, rt, wt = prep(z), prep(p), prep(t), prep(rho), prep(lwc)
+    alpha = absorption_lb_fused(config.freqs_ghz, pt, tt, rt, wt,
+                                config.model)              # (F, L, Bp)
+    e_hpa = thermo.rho_to_e(rt, tt)
+
+    ds_km = jnp.stack([
+        geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
+        for el in config.elevations_deg])                  # (E, L-1, Bp)
+    stacked = rte.downwelling_tb_lb_multi(
+        alpha, ds_km, tt, f,
+        want_trans_level=("trans_level" in config.outputs))
+    stacked = {k: v for k, v in stacked.items() if k in config.outputs}
+    # Back to the public (B, E, F[, L]) layout; these transposes restore the
+    # batch-major convention and are the only relayouts in the whole path —
+    # trans_level alone is ~E*F*L*B floats, which is why it is opt-in.
+    def restore(k, v):
+        if k == "trans_level":
+            return v.transpose(3, 0, 1, 2)[:b]
+        return v.transpose(2, 0, 1)[:b]
+    return {k: restore(k, v) for k, v in stacked.items()}
 
 
 def forward_all_models(profiles: dict, config: LBLConfig = LBLConfig(),

@@ -6,21 +6,20 @@ VMEM-resident pass — the hot loop the reference spends hours in via
 sequential PyRTlib calls (/root/reference/python_src/proc/
 PyRTlib_processing.py:99-151).
 
-Layout: profiles are flattened level-major to a (B*L,) column axis and the
-channel set forms the sublane axis, so every elementwise op runs on
-(F_pad, TILE_N) VPU tiles with zero padding waste in the data dimension
-(F_pad = 16 for the 14 HATPRO channels).  The line summation is fully
-unrolled with the spectroscopy tables baked in as compile-time literals:
+Layout: absorption physics is pointwise in (p, T, rho, lwc), so the
+batch x level structure is flattened and reshaped to (rows, 128) — both
+sublanes and lanes hold *data points*, giving every vector op a full
+(8, 128) native VPU tile with zero broadcast traffic.  The channel set is
+a compile-time Python loop: each channel frequency is a scalar immediate,
+so per-(channel, line) quantities like (f - f0)^2 and the Clough-cutoff
+decision |f - fl| < 750 GHz fold at trace time (line/channel pairs outside
+the cutoff cost *zero* instructions).  Per-line tile-valued quantities
+(widths, strengths, mixing) are hoisted out of the channel loop and shared
+across all channels.
 
-  * per-(channel, line) Clough-cutoff decisions (|f - fl| < 750 GHz) fold to
-    constant masks — lines invisible to a channel cost nothing;
-  * per-line constants (fl, s1, b2, ...) become immediates, so the only
-    VMEM traffic is the four profile arrays in and alpha out
-    (~arithmetic intensity 55 lines x ~30 ops / 20 bytes ~ 80 flops/byte —
-    compute-bound, exactly where a VPU kernel should sit).
-
-The grid is 1-D over column tiles; batch/level/profile structure is
-irrelevant to absorption physics, which is pointwise in (p, T, rho, lwc).
+With the spectroscopy tables baked in as immediates the only VMEM traffic
+is 4 profile tiles in and nf alpha tiles out; the ~8 ops / pair line math
+dominates, i.e. the kernel is VPU-compute-bound as it should be.
 """
 
 from __future__ import annotations
@@ -36,126 +35,164 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants.h2o_lines import H2O_MODELS
 from ...constants.o2_lines import O2_MODELS
 
-F_PAD = 16          # sublane tile (>= 14 channels, fp32 min tile 8)
-TILE_N = 512        # lane tile over the flattened (B*L) axis
-
-
-def _h2o_lines_for(model, freqs):
-    """(line constants, per-channel mask) pruned to lines any channel sees."""
-    m = H2O_MODELS[model]
-    keep = []
-    for i, fl in enumerate(np.asarray(m.fl)):
-        if np.any(np.abs(freqs - fl) < m.cutoff_ghz) or \
-           np.any(np.abs(freqs + fl) < m.cutoff_ghz):
-            keep.append(i)
-    return m, keep
+LANES = 128         # native lane count
+BLOCK_ROWS = 8      # sublane rows per grid step (8 = one fp32 vreg per value)
 
 
 def _build_kernel(model: str, freqs: tuple):
-    """Return a Pallas kernel computing alpha for this model + channel set."""
+    """Return a Pallas kernel computing alpha for this model + channel set.
+
+    All spectroscopy constants become Python-float immediates; the channel
+    loop is unrolled with per-channel scalar frequencies.
+    """
     freqs_np = np.asarray(freqs, np.float64)
     nf = freqs_np.size
-    assert nf <= F_PAD, (nf, F_PAD)
-    h2o, h2o_keep = _h2o_lines_for(model, freqs_np)
+    h2o = H2O_MODELS[model]
     o2 = O2_MODELS[model]
-    cut = h2o.cutoff_ghz
+    cut = float(h2o.cutoff_ghz)
+    cut2 = cut * cut
 
-    def kernel(f_ref, p_ref, t_ref, rho_ref, lwc_ref, out_ref):
-        # (1, TILE_N) rows broadcast against the (F_PAD, 1) channel column.
+    h2o_fl = np.asarray(h2o.fl, np.float64)
+    h2o_s1 = np.asarray(h2o.s1, np.float64)
+    h2o_b2 = np.asarray(h2o.b2, np.float64)
+    h2o_w3 = np.asarray(h2o.w3, np.float64)
+    h2o_x = np.asarray(h2o.x, np.float64)
+    h2o_ws = np.asarray(h2o.ws, np.float64)
+    h2o_xs = np.asarray(h2o.xs, np.float64)
+
+    o2_f = np.asarray(o2.f, np.float64)
+    o2_s300 = np.asarray(o2.s300, np.float64)
+    o2_be = np.asarray(o2.be, np.float64)
+    o2_w300 = np.asarray(o2.w300, np.float64)
+    o2_y300 = np.asarray(o2.y300, np.float64)
+    o2_v = np.asarray(o2.v, np.float64)
+    # All shipped models use first-order mixing only (g = dnu = 0), which
+    # makes the line centers scalar immediates; guard so a future table with
+    # second-order terms fails loudly instead of silently dropping them.
+    assert not np.any(np.asarray(o2.g)) and not np.any(np.asarray(o2.dnu)), \
+        "second-order O2 mixing not supported by the fused kernel"
+
+    def kernel(p_ref, t_ref, rho_ref, lwc_ref, out_ref):
         p = p_ref[:]
         t = t_ref[:]
         rho = rho_ref[:]
         w = lwc_ref[:]
-        f = f_ref[:]                                 # (F_PAD, 1) channel col
-        f2 = f * f
 
+        # ---- shared thermodynamic quantities (per data tile) --------------
         ti = 300.0 / t
+        log_ti = jnp.log(ti)
         pvap = rho * t * (1.0 / 217.0)
         pda = p - pvap
-        log_ti = jnp.log(ti)
-
-        # ---------------- H2O resonant lines (unrolled, constants baked) ---
-        ti2 = jnp.exp(2.5 * log_ti)                  # ti**2.5
-        h2o_sum = jnp.zeros((F_PAD, p.shape[1]), jnp.float32)
-        for i in h2o_keep:
-            fl = float(np.asarray(h2o.fl)[i])
-            s1 = float(np.asarray(h2o.s1)[i])
-            b2 = float(np.asarray(h2o.b2)[i])
-            w3 = float(np.asarray(h2o.w3)[i])
-            x = float(np.asarray(h2o.x)[i])
-            ws = float(np.asarray(h2o.ws)[i])
-            xs = float(np.asarray(h2o.xs)[i])
-            width = w3 * pda * jnp.exp(x * log_ti) \
-                + ws * pvap * jnp.exp(xs * log_ti)   # (1, N)
-            wsq = width * width
-            s = s1 * ti2 * jnp.exp(b2 * (1.0 - ti))  # (1, N)
-            base = width / (cut * cut + wsq)
-            # per-channel cutoff masks from the constant f column (cheap and
-            # loop-invariant; lines invisible to every channel were already
-            # pruned at build time via h2o_keep)
-            df1 = f - fl
-            df2 = f + fl
-            mask1 = (jnp.abs(df1) < cut).astype(jnp.float32)
-            mask2 = (jnp.abs(df2) < cut).astype(jnp.float32)
-            res = mask1 * (width / (df1 * df1 + wsq) - base) \
-                + mask2 * (width / (df2 * df2 + wsq) - base)
-            h2o_sum = h2o_sum + (s * (1.0 / (fl * fl))) * res
-        h2o_lines = 0.3183e-4 * (3.344e16 * rho) * h2o_sum * f2
-
-        con = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
-               + h2o.cs * jnp.exp(h2o.xcs * log_ti) * pvap) * pvap * f2
-
-        # ---------------- O2: nonresonant + 40 lines -----------------------
         th1 = ti - 1.0
+
+        # ---- H2O resonant lines -------------------------------------------
+        # acc_h2o[ch] accumulates sum_l s_l * res_l / fl^2; scaled by
+        # 0.3183e-4 * 3.344e16 * rho * f^2 at the end.
+        ti2 = jnp.exp(2.5 * log_ti)
+        acc_h2o = [None] * nf
+        for li in range(h2o_fl.size):
+            fl = float(h2o_fl[li])
+            # channels that see this line through the Clough cutoff
+            m1 = [abs(f - fl) < cut for f in freqs_np]
+            m2 = [abs(f + fl) < cut for f in freqs_np]
+            if not (any(m1) or any(m2)):
+                continue
+            width = float(h2o_w3[li]) * pda * jnp.exp(float(h2o_x[li]) * log_ti) \
+                + float(h2o_ws[li]) * pvap * jnp.exp(float(h2o_xs[li]) * log_ti)
+            wsq = width * width
+            s = float(h2o_s1[li]) * ti2 * jnp.exp(float(h2o_b2[li]) * (1.0 - ti))
+            sw = s * width
+            sbase = sw / (cut2 + wsq)                # s * Clough base
+            inv_fl2 = 1.0 / (fl * fl)
+            for ci, fch in enumerate(freqs_np):
+                d1sq = (fch - fl) ** 2
+                d2sq = (fch + fl) ** 2
+                if m1[ci] and m2[ci]:
+                    den1 = wsq + d1sq
+                    den2 = wsq + d2sq
+                    sres = sw * (den1 + den2) / (den1 * den2) - 2.0 * sbase
+                elif m1[ci]:
+                    sres = sw / (wsq + d1sq) - sbase
+                elif m2[ci]:
+                    sres = sw / (wsq + d2sq) - sbase
+                else:
+                    continue
+                contrib = inv_fl2 * sres
+                acc_h2o[ci] = contrib if acc_h2o[ci] is None \
+                    else acc_h2o[ci] + contrib
+        h2o_scale = (0.3183e-4 * 3.344e16) * rho
+
+        # H2O continuum base (per channel: * f^2)
+        con_b = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
+                 + h2o.cs * jnp.exp(h2o.xcs * log_ti) * pvap) * pvap
+
+        # ---- O2: 40 lines + nonresonant Debye -----------------------------
         b = jnp.exp(o2.x * log_ti)
         den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
         dfnr = o2.wb300 * den
-        o2_acc = 1.6e-17 * f2 * dfnr / (ti * (f2 + dfnr * dfnr))
-        pe2 = den * den
-        for i in range(np.asarray(o2.f).size):
-            f0 = float(np.asarray(o2.f)[i])
-            s300 = float(np.asarray(o2.s300)[i])
-            be = float(np.asarray(o2.be)[i])
-            w300 = float(np.asarray(o2.w300)[i])
-            y300 = float(np.asarray(o2.y300)[i])
-            v = float(np.asarray(o2.v)[i])
-            g2 = float(np.asarray(o2.g)[i])
-            dnu = float(np.asarray(o2.dnu)[i])
-            df = w300 * den
-            yy = 0.001 * p * b * (y300 + v * th1)
-            strength = s300 * jnp.exp(-be * th1)
-            fc = f0 + dnu * pe2
-            gfac = 1.0 + g2 * pe2
-            d1 = f - fc
-            d2 = f + fc
-            sf1 = (df * gfac + d1 * yy) / (d1 * d1 + df * df)
-            sf2 = (df * gfac - d2 * yy) / (d2 * d2 + df * df)
-            o2_acc = o2_acc + strength * (sf1 + sf2) * (1.0 / (f0 * f0)) * f2
-        o2_alpha = jnp.maximum(
-            0.5034e12 * o2_acc * pda * ti * ti * ti * (1.0 / np.pi), 0.0)
+        dfnr2 = dfnr * dfnr
+        dfnr_over_th = dfnr / ti
+        pb = 0.001 * p * b
+        acc_o2 = [None] * nf
+        for li in range(o2_f.size):
+            f0 = float(o2_f[li])
+            df = float(o2_w300[li]) * den
+            dfsq = df * df
+            yy = pb * (float(o2_y300[li]) + float(o2_v[li]) * th1)
+            strength = float(o2_s300[li]) * jnp.exp(-float(o2_be[li]) * th1)
+            inv_f02 = 1.0 / (f0 * f0)
+            for ci, fch in enumerate(freqs_np):
+                d1 = fch - f0
+                d2 = fch + f0
+                # sf1 + sf2 over a common denominator: one divide per pair
+                den1 = dfsq + d1 * d1
+                den2 = dfsq + d2 * d2
+                num1 = df + d1 * yy
+                num2 = df - d2 * yy
+                pair = (num1 * den2 + num2 * den1) / (den1 * den2)
+                contrib = inv_f02 * (strength * pair)
+                acc_o2[ci] = contrib if acc_o2[ci] is None \
+                    else acc_o2[ci] + contrib
+        o2_scale = (0.5034e12 / np.pi) * pda * ti * ti * ti
 
-        # ---------------- dry continuum ------------------------------------
+        # ---- dry (N2/pressure-induced) continuum base ---------------------
         if model == "R98":
-            n2 = 6.4e-14 * pda * pda * f2 * jnp.exp(3.55 * log_ti)
+            n2_b = 6.4e-14 * pda * pda * jnp.exp(3.55 * log_ti)
+            n2_fdep = [1.0] * nf
         else:
-            fdep = 0.5 + 0.5 / (1.0 + (f * (1.0 / 450.0)) ** 2)
-            n2 = 6.5e-14 * fdep * pda * pda * f2 * jnp.exp(3.6 * log_ti)
+            n2_b = 6.5e-14 * pda * pda * jnp.exp(3.6 * log_ti)
+            n2_fdep = [0.5 + 0.5 / (1.0 + (f / 450.0) ** 2) for f in freqs_np]
 
-        # ---------------- cloud liquid (Liebe-Hufford-Manabe) --------------
+        # ---- cloud liquid (Liebe-Hufford-Manabe dielectric) ---------------
         theta1 = 1.0 - 300.0 / t
         eps0 = 77.66 - 103.3 * theta1
         eps1 = 0.0671 * eps0
         eps2 = 3.52
-        fp = 20.1 * jnp.exp(7.88 * theta1)
-        fs = 39.8 * fp
-        u = f / fp
-        vv = f / fs
-        re = eps2 + (eps0 - eps1) / (1.0 + u * u) + (eps1 - eps2) / (1.0 + vv * vv)
-        im = -(eps0 - eps1) * u / (1.0 + u * u) - (eps1 - eps2) * vv / (1.0 + vv * vv)
-        aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
-        liq = -0.06286 * aimag * f * w
+        inv_fp = jnp.exp(-7.88 * theta1) * (1.0 / 20.1)
+        inv_fs = inv_fp * (1.0 / 39.8)
+        d01 = eps0 - eps1
+        w_scaled = -0.06286 * w
 
-        out_ref[:] = h2o_lines + con + o2_alpha + n2 + liq
+        # ---- per-channel assembly -----------------------------------------
+        for ci, fch in enumerate(freqs_np):
+            f2 = float(fch * fch)
+            h2o_lines = (f2 * h2o_scale) * acc_h2o[ci] if acc_h2o[ci] is not None \
+                else 0.0
+            nonres = (1.6e-17 * f2) * dfnr_over_th / (f2 + dfnr2)
+            line_sum = acc_o2[ci] if acc_o2[ci] is not None else 0.0
+            o2_alpha = jnp.maximum(o2_scale * (f2 * line_sum + nonres), 0.0)
+
+            u = fch * inv_fp
+            vv = fch * inv_fs
+            uu1 = 1.0 + u * u
+            vv1 = 1.0 + vv * vv
+            re = eps2 + d01 / uu1 + (eps1 - eps2) / vv1
+            im = -d01 * u / uu1 - (eps1 - eps2) * vv / vv1
+            aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
+            liq = (fch * aimag) * w_scaled
+
+            out_ref[ci] = (h2o_lines + f2 * con_b + o2_alpha
+                           + (f2 * n2_fdep[ci]) * n2_b + liq)
 
     return kernel
 
@@ -166,40 +203,58 @@ def total_absorption_fused(freqs: tuple, p_hpa, t_k, rho_gm3, lwc_gm3,
     """Fused absorption: (N,) flattened level arrays -> (F, N) alpha [Np/km].
 
     freqs: static tuple of channel frequencies [GHz] (baked into the kernel).
-    p/t/rho/lwc: (N,) float32, N a multiple of TILE_N (pad with any finite
-    values and discard those columns).
+    p/t/rho/lwc: (N,) float32, N a multiple of BLOCK_ROWS*LANES (pad with any
+    finite values and discard those columns).
     """
     n = p_hpa.shape[0]
-    if n % TILE_N:
-        raise ValueError(f"N={n} not a multiple of {TILE_N}")
+    block = BLOCK_ROWS * LANES
+    if n % block:
+        raise ValueError(f"N={n} not a multiple of {block}")
+    nf = len(freqs)
+    m = n // LANES
     kernel = _build_kernel(model, tuple(freqs))
-    grid = (n // TILE_N,)
-    row = lambda a: a.reshape(1, n).astype(jnp.float32)
-    f_col = np.zeros((F_PAD, 1), np.float32)
-    f_col[:len(freqs), 0] = np.asarray(freqs, np.float64)
-    in_spec = pl.BlockSpec((1, TILE_N), lambda i: (0, i),
+    grid = (m // BLOCK_ROWS,)
+    tile = lambda a: a.reshape(m, LANES).astype(jnp.float32)
+    in_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((F_PAD, 1), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[f_spec] + [in_spec] * 4,
-        out_specs=pl.BlockSpec((F_PAD, TILE_N), lambda i: (0, i),
+        in_specs=[in_spec] * 4,
+        out_specs=pl.BlockSpec((nf, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F_PAD, n), jnp.float32),
-    )(jnp.asarray(f_col), row(p_hpa), row(t_k), row(rho_gm3), row(lwc_gm3))
-    return out[:len(freqs)]
+        out_shape=jax.ShapeDtypeStruct((nf, m, LANES), jnp.float32),
+        # On non-TPU backends (CPU test meshes) run the kernel interpreted so
+        # the fast path stays exercisable everywhere.
+        interpret=(jax.default_backend() != "tpu"),
+    )(tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3))
+    return out.reshape(nf, n)
+
+
+def absorption_lb_fused(freqs: tuple, p, t, rho, lwc,
+                        model: str = "R24") -> jax.Array:
+    """(L, B) lanes-batch arrays -> (F, L, B) alpha via the fused kernel.
+
+    B must be a multiple of 128 with L*B a multiple of BLOCK_ROWS*LANES, so
+    that the (L, B) <-> (L*B,) <-> (F, L, B) reshapes are all tile-preserving
+    (zero relayout cost — the whole point of this layout).
+    """
+    l, b = p.shape
+    alpha = total_absorption_fused(
+        tuple(freqs), p.reshape(-1), t.reshape(-1), rho.reshape(-1),
+        lwc.reshape(-1), model)
+    return alpha.reshape(len(freqs), l, b)
 
 
 def absorption_batch_fused(freqs: tuple, profiles: dict,
                            model: str = "R24") -> jax.Array:
     """(B, L) profile dict -> (B, F, L) alpha via the fused kernel, padding
-    the flattened axis up to a TILE_N multiple."""
+    the flattened axis up to a block multiple."""
     p = profiles["p"]
     b, l = p.shape
     n = b * l
-    n_pad = -(-n // TILE_N) * TILE_N
+    block = BLOCK_ROWS * LANES
+    n_pad = -(-n // block) * block
 
     def flat(a, fill):
         v = a.reshape(-1).astype(jnp.float32)

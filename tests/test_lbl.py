@@ -93,3 +93,36 @@ def test_flip_profile_roundtrip(demo_batch):
     back = lbl.flip_profile(flipped)
     for k in demo_batch:
         np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(demo_batch[k]))
+
+
+def test_pallas_lanes_path_matches_xla(demo_batch, small_cfg):
+    """The fused-kernel lanes-batch path (interpreted on CPU) must agree with
+    the reference XLA path on every output it produces."""
+    cfg_p = lbl.LBLConfig(model=small_cfg.model,
+                          elevations_deg=small_cfg.elevations_deg,
+                          use_pallas=True)
+    ref = lbl.forward_batch(demo_batch, small_cfg)
+    got = lbl.forward_batch(demo_batch, cfg_p)
+    assert set(got) == set(ref)
+    np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got["tau_total"]),
+                               np.asarray(ref["tau_total"]), rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got["trans_level"]),
+                               np.asarray(ref["trans_level"]), rtol=0, atol=5e-3)
+
+
+def test_pallas_lanes_path_pads_odd_batch(small_cfg):
+    """Batch sizes that are not lane-multiples are padded internally and
+    sliced back."""
+    cfg_p = lbl.LBLConfig(model=small_cfg.model,
+                          elevations_deg=small_cfg.elevations_deg,
+                          use_pallas=True, outputs=("tb",))
+    batch = lbl.demo_batch(3, n_levels=64)
+    ref = lbl.forward_batch(batch, lbl.LBLConfig(
+        model=small_cfg.model, elevations_deg=small_cfg.elevations_deg,
+        outputs=("tb",)))
+    got = lbl.forward_batch(batch, cfg_p)
+    assert got["tb"].shape == (3, 3, 14)
+    np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
+                               rtol=0, atol=2e-2)
