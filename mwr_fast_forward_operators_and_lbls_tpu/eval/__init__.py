@@ -1,3 +1,3 @@
 """Evaluation layer: statistics, sky classification, deviations, plots."""
 
-from . import deviations, sky, stats  # noqa: F401
+from . import deviations, report, sky, stats  # noqa: F401

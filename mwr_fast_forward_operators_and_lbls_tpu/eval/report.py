@@ -1,0 +1,170 @@
+"""Analysis report utilities: stats tables (CSV), availability grids,
+roof/yard splits, seasonal windows, LWP-stratified departures.
+
+Completes the reference's zenith-study analysis surface
+(/root/reference/python_src/plot_scripts/final_zenith_plots.py and the
+seasonal re-analysis loop of multi_campaign_plots_and_ana.py:1212-1348) on
+this framework's Dataset container.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as _dt
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..constants import hatpro
+from ..data.dataset import Dataset
+from . import stats as stats_mod
+from .plots import _finish
+
+
+# ---------------------------------------------------------------------------
+# Statistics tables (create_statistics_dataframe, final_zenith_plots.py:626-663)
+# ---------------------------------------------------------------------------
+
+def stats_table(ds: Dataset, dev_names: list | None = None,
+                elevation_index: int = 0) -> list:
+    """Per-(deviation variable, channel) statistics rows.
+
+    Returns a list of dicts with keys
+    variable/channel_ghz/bias/std/rmse/r/n — the reference's statistics
+    dataframe (final_zenith_plots.py:626-663), channel stats per
+    Shi et al. convention (multi_campaign_plots_and_ana.py:155-178).
+    """
+    if dev_names is None:
+        dev_names = [n for n in ds if n.startswith("Deviations_")]
+    rows = []
+    freqs = hatpro.HATPRO_FREQS_GHZ
+    for name in dev_names:
+        dev = np.asarray(ds[name].data)              # (time, chan[, elev])
+        if dev.ndim == 3:
+            dev = dev[..., elevation_index]
+        for c in range(dev.shape[1]):
+            col = dev[:, c]
+            valid = np.isfinite(col)
+            n = int(valid.sum())
+            if n:
+                st = stats_mod.deviation_stats(col[valid])
+                bias, std, rmse = (float(st["bias"]), float(st["std"]),
+                                   float(st["rmse"]))
+            else:
+                bias = std = rmse = float("nan")
+            rows.append({
+                "variable": name,
+                "channel_ghz": float(freqs[c]) if c < freqs.size else c,
+                "bias": bias, "std": std, "rmse": rmse, "n": n,
+            })
+    return rows
+
+
+def write_stats_csv(rows: list, path: str) -> str:
+    """Write `stats_table` rows as CSV (the reference exports the same table
+    with DataFrame.to_csv, final_zenith_plots.py:660-663)."""
+    if not rows:
+        raise ValueError("no rows")
+    with open(path, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=list(rows[0]))
+        writer.writeheader()
+        writer.writerows(rows)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Dataset splits
+# ---------------------------------------------------------------------------
+
+def select_time_window(ds: Dataset, start, end) -> Dataset:
+    """Subset to launches in [start, end) — the seasonal re-analysis windows
+    (May-dry / June-July-humid, multi_campaign_plots_and_ana.py:1212-1348).
+
+    start/end: datetime, numpy datetime64, or epoch seconds.
+    """
+    def to_epoch(x):
+        if isinstance(x, (int, float)):
+            return float(x)
+        if isinstance(x, _dt.datetime):
+            return x.replace(tzinfo=_dt.timezone.utc).timestamp()
+        return float(np.datetime64(x, "s").astype("f8"))
+
+    t = np.asarray(ds["time"].data, np.float64)
+    mask = (t >= to_epoch(start)) & (t < to_epoch(end))
+    return ds.sel_mask("time", mask)
+
+
+def split_roof_yard(ds: Dataset, roof_instruments=("Joyhat",),
+                    yard_instruments=("Hamhat",)) -> dict:
+    """Roof- vs yard-mounted instrument split (divide2roof_and_yard_sets,
+    final_zenith_plots.py:72-93).
+
+    Roof instruments see the cropped profile (Crop=1, first levels removed
+    up to the roof height, preprocessing4all.py:253-268,1227); yard
+    instruments the full profile (Crop=0).  Returns
+    {"roof": (dataset at Crop=1, instruments), "yard": (Crop=0, ...)}.
+    """
+    out = {}
+    for label, insts, crop in (("roof", tuple(roof_instruments), 1),
+                               ("yard", tuple(yard_instruments), 0)):
+        sub = ds.isel(Crop=crop) if "Crop" in ds.dims else ds
+        out[label] = (sub, insts)
+    return out
+
+
+def availability_matrix(ds: Dataset, names: list,
+                        elevation_index: int = 0) -> np.ndarray:
+    """(time, len(names)) boolean: source has finite data at that launch
+    (check_model_and_mwr_data_availability,
+    multi_campaign_plots_and_ana.py:327-375)."""
+    cols = []
+    for name in names:
+        v = np.asarray(ds[name].data, np.float64)
+        axes = tuple(range(1, v.ndim))
+        if v.ndim >= 3:   # (time, chan, elev): availability at one elevation
+            v = v[..., elevation_index]
+            axes = tuple(range(1, v.ndim))
+        cols.append(np.isfinite(v).any(axis=axes) if axes else np.isfinite(v))
+    return np.stack(cols, axis=1)
+
+
+def plot_data_availability(avail: np.ndarray, labels: list, path: str,
+                           times=None, title: str = "data availability"):
+    """Launch x source availability grid (create_data_avail_plot,
+    final_zenith_plots.py:276-349)."""
+    a = np.asarray(avail, bool)
+    fig, ax = plt.subplots(figsize=(10, 0.45 * len(labels) + 1.5))
+    ax.imshow(a.T, aspect="auto", interpolation="nearest", cmap="RdYlGn",
+              vmin=0, vmax=1)
+    ax.set_yticks(np.arange(len(labels)))
+    ax.set_yticklabels(labels, fontsize=8)
+    ax.set_xlabel("launch index" if times is None else "launch")
+    if times is not None:
+        idx = np.linspace(0, len(times) - 1, min(8, len(times))).astype(int)
+        ax.set_xticks(idx)
+        ax.set_xticklabels(
+            [_dt.datetime.fromtimestamp(
+                float(times[i]), _dt.timezone.utc).strftime("%m-%d")
+             for i in idx], fontsize=7)
+    ax.set_title(f"{title}  ({100.0 * a.mean():.0f} % overall)")
+    return _finish(fig, path)
+
+
+def plot_departures_vs_lwp(dev: np.ndarray, lwp: np.ndarray, path: str,
+                           ylabel: str = "TB departure [K]",
+                           title: str = "departures vs LWP"):
+    """Deviations vs liquid water path (final_zenith_plots.py:667-804)."""
+    d = np.asarray(dev)
+    d = d.reshape(d.shape[0], -1)
+    w = np.asarray(lwp)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for col in range(min(d.shape[1], 64)):
+        ax.scatter(w, d[:, col], s=4, alpha=0.3, color="tab:red")
+    ax.axhline(0, color="black", lw=0.8)
+    ax.set_xlabel("LWP [kg m$^{-2}$]")
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    return _finish(fig, path)

@@ -144,3 +144,22 @@ def barometric_pressure(p0, t, z0, z):
 def density_moist(p, t, mr):
     """Moist-air density [kg/m^3] from p [hPa], T [K], mixing ratio [g/kg]."""
     return p * 100.0 / (phys.RD * virtual_temperature(t, mr))
+
+
+def potential_temperature(t, p, p0=1000.0):
+    """theta = T (p0/p)^(R/cp) [K]."""
+    return t * (p0 / p) ** 0.2854
+
+
+def bulk_richardson(z_m, t_k, p_hpa, mr_gkg, u_ms, v_ms):
+    """Bulk Richardson number between the surface level and each level.
+
+    Ri_b = (g/thetav_0) * (thetav - thetav_0) * (z - z_0) / (u^2 + v^2)
+    (the stability diagnostic of the reference's thermo library,
+    /root/reference/python_src/merge_data_into_netCDF/Sc_module.py:73-75).
+    Level 0 is the surface; wind components relative to the surface flow.
+    """
+    thv = virtual_temperature(potential_temperature(t_k, p_hpa), mr_gkg)
+    du2 = u_ms**2 + v_ms**2
+    num = 9.80665 / thv[..., :1] * (thv - thv[..., :1]) * (z_m - z_m[..., :1])
+    return num / jnp.maximum(du2, 1e-6)

@@ -1,0 +1,81 @@
+"""Report-layer tests: stats CSV, availability, time windows, splits."""
+import csv
+
+import numpy as np
+
+from mwr_fast_forward_operators_and_lbls_tpu.data.dataset import Dataset
+from mwr_fast_forward_operators_and_lbls_tpu.eval import report
+
+
+def _ds(n=8):
+    rng = np.random.default_rng(0)
+    ds = Dataset()
+    # epoch seconds: 2021-05-01 + i days
+    t0 = np.datetime64("2021-05-01", "s").astype("f8")
+    ds["time"] = (("time",), t0 + 86400.0 * np.arange(n), {})
+    dev = rng.normal(0.5, 1.0, (n, 14, 10))
+    dev[3, :, 0] = np.nan
+    ds["Deviations_RTTOV_gb_R24"] = (("time", "N_Channels", "elevation"),
+                                     dev, {})
+    tb = rng.normal(100.0, 30.0, (n, 14, 10))
+    tb[2] = np.nan
+    ds["TBs_LBL_R24"] = (("time", "N_Channels", "elevation"), tb, {})
+    ds["Joyhat_LWP"] = (("time",), rng.uniform(0, 0.1, n), {})
+    ds["Surface_Pressure"] = (("time", "Crop"),
+                              np.tile(1013.0, (n, 2)), {})
+    return ds
+
+
+def test_stats_table_and_csv(tmp_path):
+    ds = _ds()
+    rows = report.stats_table(ds)
+    assert len(rows) == 14
+    r0 = rows[0]
+    assert r0["variable"] == "Deviations_RTTOV_gb_R24"
+    assert r0["n"] == 7  # one NaN launch at elevation 0
+    dev = ds["Deviations_RTTOV_gb_R24"].data[:, 0, 0]
+    assert abs(r0["bias"] - np.nanmean(dev)) < 1e-5
+    path = report.write_stats_csv(rows, str(tmp_path / "stats.csv"))
+    with open(path) as fh:
+        got = list(csv.DictReader(fh))
+    assert len(got) == 14 and float(got[0]["bias"]) == r0["bias"]
+
+
+def test_select_time_window():
+    ds = _ds()
+    sub = report.select_time_window(ds, "2021-05-03", "2021-05-06")
+    assert sub.dims["time"] == 3
+    # datetime + epoch inputs agree
+    import datetime as dt
+    sub2 = report.select_time_window(
+        ds, dt.datetime(2021, 5, 3), float(np.datetime64("2021-05-06", "s").astype("f8")))
+    np.testing.assert_array_equal(sub2["time"].data, sub["time"].data)
+
+
+def test_split_roof_yard():
+    ds = _ds()
+    out = report.split_roof_yard(ds)
+    assert set(out) == {"roof", "yard"}
+    (roof_ds, roof_insts) = out["roof"]
+    assert roof_insts == ("Joyhat",)
+    assert "Crop" not in roof_ds.dims  # selected away
+
+
+def test_availability_matrix_and_plot(tmp_path):
+    ds = _ds()
+    avail = report.availability_matrix(
+        ds, ["TBs_LBL_R24", "Joyhat_LWP"])
+    assert avail.shape == (8, 2)
+    assert not avail[2, 0] and avail[2, 1]
+    p = report.plot_data_availability(
+        avail, ["LBL", "LWP"], str(tmp_path / "avail.png"),
+        times=ds["time"].data)
+    assert (tmp_path / "avail.png").exists()
+
+
+def test_plot_departures_vs_lwp(tmp_path):
+    ds = _ds()
+    report.plot_departures_vs_lwp(
+        ds["Deviations_RTTOV_gb_R24"].data[:, :, 0],
+        ds["Joyhat_LWP"].data, str(tmp_path / "lwp.png"))
+    assert (tmp_path / "lwp.png").exists()
