@@ -54,12 +54,27 @@ def forward_sharded(profiles: dict, mesh: Mesh,
     """
     b = profiles["z"].shape[0]
     placed = shard_profiles(profiles, mesh)
-    out_sharding = NamedSharding(mesh, P(DATA_AXIS))
-    fwd = jax.jit(
-        functools.partial(lbl.forward_batch, config=config),
-        out_shardings={k: out_sharding for k in
-                       ("tb", "tau_total", "trans_level", "t_mr")},
-    )
+    if config.use_pallas:
+        # The fused-kernel path is per-shard compute with zero cross-device
+        # dependencies; shard_map gives each device its batch slice directly
+        # (GSPMD cannot partition through a pallas_call).
+        out_specs = {
+            k: P(*((DATA_AXIS,) + (None,) * (3 if k == "trans_level" else 2)))
+            for k in config.outputs}
+        fwd = jax.jit(jax.shard_map(
+            functools.partial(lbl.forward_batch, config=config),
+            mesh=mesh,
+            in_specs=({k: P(DATA_AXIS, None) for k in placed},),
+            out_specs=out_specs,
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        ))
+    else:
+        out_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        fwd = jax.jit(
+            functools.partial(lbl.forward_batch, config=config),
+            out_shardings={k: out_sharding for k in config.outputs},
+        )
     out = fwd(placed)
     return {k: v[:b] for k, v in out.items()}
 

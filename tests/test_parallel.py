@@ -69,3 +69,17 @@ def test_graft_entry_dryrun():
     tb = jax.jit(fn)(*args)
     assert tb.shape == (8, 10, 14)
     g.dryrun_multichip(8)
+
+
+def test_forward_sharded_pallas_path(mesh8):
+    """shard_map + fused-kernel path agrees with the XLA sharded path."""
+    profiles = lbl.demo_batch(16, n_levels=32)
+    cfg_x = lbl.LBLConfig(model="R98", elevations_deg=(90.0, 30.0),
+                          outputs=("tb", "tau_total"))
+    cfg_p = lbl.LBLConfig(model="R98", elevations_deg=(90.0, 30.0),
+                          outputs=("tb", "tau_total"), use_pallas=True)
+    ref = shard_mod.forward_sharded(profiles, mesh8, cfg_x)
+    got = shard_mod.forward_sharded(profiles, mesh8, cfg_p)
+    assert set(got) == {"tb", "tau_total"}
+    np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
+                               rtol=0, atol=2e-2)
