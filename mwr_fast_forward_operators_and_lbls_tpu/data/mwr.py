@@ -70,8 +70,9 @@ def read_l1_tbs(files: list, launch: np.datetime64,
     tbs = np.full((len(elevations), len(azimuths), hatpro.N_CHANNELS), np.nan)
     lat = lon = np.nan
     qual = 0.0
-    for path in files:
-        ds = netcdf.read(path)
+    for path, ds in zip(files, netcdf.read_many(files)):
+        if ds is None:
+            continue
         times = decode_time(ds["time"])
         if "BL" in path and "ele" in ds and ds["tb"].data.ndim == 3:
             # BL-scan file: tb(time, ele, chan), azimuth fixed (column 0)
@@ -155,8 +156,9 @@ def read_l2_profiles(files: list, launch: np.datetime64,
     """
     data = np.full((4, n_levels), np.nan)
     lwp = iwv = np.nan
-    for path in files:
-        ds = netcdf.read(path)
+    for path, ds in zip(files, netcdf.read_many(files)):
+        if ds is None:
+            continue
         times = decode_time(ds["time"])
         name = path.split("/")[-1]
 

@@ -105,6 +105,12 @@ def read_classic(path: str) -> Dataset:
     """Parse a CDF-1/2/5 file into a Dataset (record dim fully materialized)."""
     with open(path, "rb") as fh:
         buf = fh.read()
+    return read_classic_bytes(buf, path)
+
+
+def read_classic_bytes(buf: bytes, path: str = "<bytes>") -> Dataset:
+    """Parse an in-memory CDF-1/2/5 file image (the native parallel loader
+    hands whole-file buffers here, utils/native.read_files)."""
     if buf[:3] != b"CDF":
         raise ValueError(f"{path}: not a NetCDF classic file")
     version = buf[3]
@@ -232,6 +238,31 @@ def read(path: str) -> Dataset:
     if magic[:8] == b"\x89HDF\r\n\x1a\n":
         return read_hdf5(path)
     raise ValueError(f"{path}: unrecognized format {magic!r}")
+
+
+def read_many(paths: list) -> list:
+    """Read many NetCDF files with the native OpenMP file pool (the ingest
+    layer opens hundreds of small scan files per launch — the reference\'s
+    hot ingest loop, MWR_read_in_module.py:167-234).
+
+    Returns [Dataset | None] aligned with `paths`; classic files parse from
+    the concurrently-read buffers, HDF5 files fall back to `read`.
+    """
+    from ..utils import native
+
+    bufs = native.read_files(list(paths))
+    out = []
+    for path, buf in zip(paths, bufs):
+        try:
+            if buf is None:
+                out.append(None)
+            elif buf[:3] == b"CDF":
+                out.append(read_classic_bytes(buf, path))
+            else:
+                out.append(read(path))
+        except Exception:
+            out.append(None)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,10 @@ class FastConfig:
     elevations_deg: tuple = tuple(hatpro.ELEVATIONS_DEG.tolist())
     teacher_model: str = "R24"
     dtype: str = "float32"
+    # Serve through the lanes-batch layout (levels on sublanes, batch on
+    # lanes, MXU prefix-sum RTE) instead of the vmapped batch-major path.
+    use_lanes: bool = False
+    outputs: tuple = ("tb", "tau_total", "t_mr", "trans_level")
 
 
 def _logp_hat_basis(p_hpa_mid):
@@ -149,16 +153,66 @@ def fast_forward_batch(params: dict, profiles: dict,
     if lwc is None:
         lwc = jnp.zeros_like(profiles["rho"])
 
+    if config.use_lanes:
+        return _fast_forward_batch_lanes(
+            params, profiles["z"].astype(dtype), profiles["p"].astype(dtype),
+            profiles["t"].astype(dtype), profiles["rho"].astype(dtype),
+            lwc.astype(dtype), config)
+
     def one(zi, pi, ti, ri, li):
         return jax.vmap(
             lambda el: fast_forward_single(params, zi, pi, ti, ri, li, el, config)
         )(elevs)
 
-    return jax.vmap(one)(
+    out = jax.vmap(one)(
         profiles["z"].astype(dtype), profiles["p"].astype(dtype),
         profiles["t"].astype(dtype), profiles["rho"].astype(dtype),
         lwc.astype(dtype),
     )
+    return {k: v for k, v in out.items() if k in config.outputs}
+
+
+def _fast_forward_batch_lanes(params, z, p, t, rho, lwc,
+                              config: FastConfig) -> dict:
+    """Serving path in the lanes-batch layout.
+
+    One transpose in, then: the 72 features evaluate as (L-1, B) full-tile
+    elementwise ops stacked to (P, L-1, B); the regression is a single
+    (C, P) x (P, (L-1)*B) MXU matmul producing extinction already in the
+    (C, L-1, B) layout the MXU prefix-sum RTE consumes — no relayout
+    anywhere (same reasoning as lbl._forward_batch_lanes).
+    """
+    f = jnp.asarray(config.freqs_ghz, jnp.dtype(config.dtype))
+    b_orig, l = p.shape
+    bp = -(-b_orig // 128) * 128
+    def pad(a):
+        if bp != b_orig:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (bp - b_orig, l))])
+        return a
+
+    z, p, t, rho, lwc = pad(z), pad(p), pad(t), pad(rho), pad(lwc)
+    zt, pt, tt = z.T, p.T, t.T                         # (L, Bp) for geom/RTE
+    x = layer_features(p, t, rho, lwc)                 # (Bp, L-1, P)
+    # contraction over P on the MXU; output lands lanes-batch (C, L-1, Bp)
+    alpha_mid = jnp.einsum("blp,pc->clb", x, params["w"],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    alpha_mid = jnp.maximum(alpha_mid, 0.0)
+
+    e_hpa = thermo.rho_to_e(rho.T, tt)
+    ds_km = jnp.stack([
+        geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
+        for el in config.elevations_deg])              # (E, L-1, Bp)
+    stacked = rte.downwelling_tb_lb_from_alpha_mid(
+        alpha_mid, ds_km, tt, f,
+        want_trans_level=("trans_level" in config.outputs))
+    stacked = {k: v for k, v in stacked.items() if k in config.outputs}
+
+    def restore(k, v):
+        if k == "trans_level":
+            return v.transpose(3, 0, 1, 2)[:b_orig]
+        return v.transpose(2, 0, 1)[:b_orig]
+    return {k: restore(k, v) for k, v in stacked.items()}
 
 
 # ---------------------------------------------------------------------------

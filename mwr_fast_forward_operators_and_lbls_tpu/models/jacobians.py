@@ -76,3 +76,55 @@ def kmatrix_ppmv_from_rho(k_rho, p_hpa, t_k):
     # ppmv = 1e6 * e/(p - e) -> d(ppmv)/de = 1e6 * p/(p-e)^2; at e<<p ~ 1e6/p
     dppmv_drho = 1e6 * e / p_hpa
     return k_rho / dppmv_drho[..., None, :]
+
+
+def kmatrix_fast_single(params, z_m, p_hpa, t_k, rho_gm3, lwc_gm3,
+                        elevation_deg, config=None,
+                        wrt: Sequence[str] = ("t", "rho", "lwc")):
+    """K-matrix of the FAST operator (the role RTTOV-gb's Fortran adjoint
+    plays in the reference, RTTOV_gb_processing.py:287-301): autodiff through
+    the feature map, regression matmul, slant geometry, and RTE.
+
+    Returns {name: (F, L)} per profile/elevation.
+    """
+    from . import fast as fast_mod
+
+    if config is None:
+        config = fast_mod.FastConfig()
+    args = {"p": p_hpa, "t": t_k, "rho": rho_gm3, "lwc": lwc_gm3}
+
+    def tb_of(**kw):
+        merged = {**args, **kw}
+        return fast_mod.fast_forward_single(
+            params, z_m, merged["p"], merged["t"], merged["rho"],
+            merged["lwc"], elevation_deg, config)["tb"]
+
+    return {name: jax.jacrev(lambda v, _n=name: tb_of(**{_n: v}))(args[name])
+            for name in wrt}
+
+
+def kmatrix_fast_batch(params, profiles: dict, config=None,
+                       wrt: tuple = ("t", "rho", "lwc")):
+    """Batched fast-operator K-matrix: {name: (B, E, F, L)}."""
+    from . import fast as fast_mod
+
+    if config is None:
+        config = fast_mod.FastConfig()
+    dtype = jnp.dtype(config.dtype)
+    elevs = jnp.asarray(config.elevations_deg, dtype)
+    lwc = profiles.get("lwc")
+    if lwc is None:
+        lwc = jnp.zeros_like(profiles["rho"])
+
+    @functools.partial(jax.jit, static_argnames=("wrt",))
+    def run(params, z, p, t, rho, lwc, wrt):
+        def one(zi, pi, ti, ri, li):
+            def at_elev(el):
+                return kmatrix_fast_single(params, zi, pi, ti, ri, li, el,
+                                           config, wrt)
+            return jax.vmap(at_elev)(elevs)
+        return jax.vmap(one)(z, p, t, rho, lwc)
+
+    return run(params, profiles["z"].astype(dtype),
+               profiles["p"].astype(dtype), profiles["t"].astype(dtype),
+               profiles["rho"].astype(dtype), lwc.astype(dtype), wrt)

@@ -195,9 +195,26 @@ def downwelling_tb_lb_multi(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC,
       dict with tb/tau_total/t_mr (E, F, B) and trans_level (E, F, L, B)
       (present only when want_trans_level).
     """
+    alpha_mid = 0.5 * (alpha[:, :-1] + alpha[:, 1:])             # (F, L-1, B)
+    return downwelling_tb_lb_from_alpha_mid(alpha_mid, ds_km, t_k, f_ghz,
+                                            t_cosmic, want_trans_level)
+
+
+def downwelling_tb_lb_from_alpha_mid(alpha_mid, ds_km, t_k, f_ghz,
+                                     t_cosmic=phys.T_COSMIC,
+                                     want_trans_level=True):
+    """Lanes-batch multi-elevation RTE from layer-mean extinction directly.
+
+    Shared core for the LBL (level absorption averaged to layers) and the
+    fast predictor-regression operator (which predicts layer extinction,
+    the RTTOV-gb formulation, RTTOV_gb_processing.py:167-305).
+
+    Args:
+      alpha_mid: (F, L-1, B) layer-mean extinction [Np/km].
+      ds_km: (E, L-1, B); t_k: (L, B); f_ghz: (F,).
+    """
     f = f_ghz[:, None, None]
     fb = f_ghz[:, None]
-    alpha_mid = 0.5 * (alpha[:, :-1] + alpha[:, 1:])             # (F, L-1, B)
     b = planck_tb(t_k[None], f)                                  # (F, L, B)
     b_bot, b_top = b[:, :-1], b[:, 1:]
     cosmic0 = planck_tb(t_cosmic, fb)

@@ -68,7 +68,8 @@ def device_time(fn, args, iters: int = 20, trials: int = 3) -> float:
         t0 = time.perf_counter(); chain(iters)
         t_many = time.perf_counter() - t0
         best = min(best, (t_many - t_one) / (iters - 1))
-    return best
+    # The subtraction can go negative on sub-noise workloads; floor it.
+    return max(best, 1e-9)
 
 
 @dataclass(frozen=True)

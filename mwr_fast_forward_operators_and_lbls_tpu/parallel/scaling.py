@@ -1,0 +1,73 @@
+"""Scaling-efficiency benchmark harness (BASELINE target: >= 90 %
+grid-points/s efficiency from 1 chip to 1 host to multiple hosts).
+
+Weak scaling on the workload's natural axis: the profile batch.  Each device
+gets a fixed per-device batch; efficiency at n devices is
+(rate_n / n) / rate_1.  The forward is embarrassingly parallel (SURVEY.md
+section 2.3), so the only cross-device traffic is output gathering — near-
+perfect efficiency is the expectation, and a regression here means a
+sharding rule started moving data.
+
+Run on real hardware: `python -m mwr_fast_forward_operators_and_lbls_tpu.parallel.scaling`
+(uses every visible device).  The harness itself is testable on the CPU
+virtual-device mesh.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+
+from ..models import lbl
+from . import mesh as mesh_mod
+from . import profiling
+from . import sharding as shard_mod
+
+
+def measure(per_device_batch: int = 256, n_levels: int = 180,
+            device_counts=None, config: lbl.LBLConfig | None = None,
+            iters: int = 11) -> list:
+    """Weak-scaling sweep; returns [{n_devices, seconds, spectra_per_s,
+    efficiency}] with efficiency relative to the first entry."""
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = sorted({1, len(devices)})
+    if config is None:
+        config = lbl.LBLConfig(
+            model="R24", outputs=("tb",),
+            use_pallas=jax.default_backend() == "tpu")
+    n_elev = len(config.elevations_deg)
+    results = []
+    base = None
+    for n in device_counts:
+        if n > len(devices):
+            break
+        m = mesh_mod.make_mesh(devices[:n])
+        batch = per_device_batch * n
+        profiles = lbl.demo_batch(batch, n_levels=n_levels)
+        placed = shard_mod.shard_profiles(profiles, m)
+        t = profiling.device_time(
+            lambda pr: shard_mod.forward_sharded_placed(pr, m, config),
+            (placed,), iters=iters)
+        rate = batch * n_elev / t
+        per_dev = rate / n
+        if base is None:
+            base = per_dev
+        results.append({
+            "n_devices": n,
+            "seconds": t,
+            "spectra_per_s": rate,
+            "efficiency": per_dev / base,
+        })
+    return results
+
+
+def main():  # pragma: no cover - hardware entry point
+    for row in measure():
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in row.items()}))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -54,6 +54,14 @@ def forward_sharded(profiles: dict, mesh: Mesh,
     """
     b = profiles["z"].shape[0]
     placed = shard_profiles(profiles, mesh)
+    out = forward_sharded_placed(placed, mesh, config)
+    return {k: v[:b] for k, v in out.items()}
+
+
+def forward_sharded_placed(placed: dict, mesh: Mesh,
+                           config: lbl.LBLConfig = lbl.LBLConfig()) -> dict:
+    """`forward_sharded` for inputs already padded + placed on the mesh
+    (hot-loop form: no host-side padding or device_put per call)."""
     if config.use_pallas:
         # The fused-kernel path is per-shard compute with zero cross-device
         # dependencies; shard_map gives each device its batch slice directly
@@ -75,8 +83,7 @@ def forward_sharded(profiles: dict, mesh: Mesh,
             functools.partial(lbl.forward_batch, config=config),
             out_shardings={k: out_sharding for k in config.outputs},
         )
-    out = fwd(placed)
-    return {k: v[:b] for k, v in out.items()}
+    return fwd(placed)
 
 
 def forward_spectral_sharded(profiles: dict, f_ghz, mesh: Mesh,

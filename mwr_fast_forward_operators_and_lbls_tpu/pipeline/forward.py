@@ -71,10 +71,17 @@ def forward_stage(ds: Dataset,
                   models: tuple = ("R98", "R17", "R20", "R24"),
                   fast_params: dict | None = None,
                   with_jacobians: bool = False,
-                  batch_size: int = 256) -> Dataset:
+                  batch_size: int = 256,
+                  fused: bool | None = None) -> Dataset:
     """Run the native LBL (all `models`) and optionally the fast operator and
     K-matrix over every (time, Crop) profile at the 10 BL-scan elevations;
-    append results to `ds` in the reference layout."""
+    append results to `ds` in the reference layout.
+
+    fused: route through the fused-kernel / lanes-batch serving paths.
+    Default: on for TPU backends, off elsewhere (the kernels run interpreted
+    off-TPU — correct but slow)."""
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
     n_time = ds.dims["time"]
     n_lev = ds.dims["N_Levels"]
     nc, ne = hatpro.N_CHANNELS, hatpro.N_ELEVATIONS
@@ -96,13 +103,15 @@ def forward_stage(ds: Dataset,
             chunk = {k: jnp.asarray(v[sl]) for k, v in profiles.items()}
             bmask = mask[sl]
             for m in models:
-                cfg = lbl_mod.LBLConfig(model=m)
+                cfg = lbl_mod.LBLConfig(model=m, use_pallas=fused,
+                                        outputs=("tb",))
                 out = lbl_mod.forward_batch(chunk, cfg)
                 tb = np.array(out["tb"])            # (B, E, F)
                 tb[~bmask] = np.nan
                 lbl_out[m][sl, ..., crop] = np.transpose(tb, (0, 2, 1))
             if fast_params is not None:
-                fout = fast_mod.fast_forward_batch(fast_params, chunk)
+                fout = fast_mod.fast_forward_batch(
+                    fast_params, chunk, fast_mod.FastConfig(use_lanes=fused))
                 tb = np.array(fout["tb"])
                 tt = np.exp(-np.asarray(fout["tau_total"]))
                 lt = np.array(fout["trans_level"])  # (B, E, F, L-1+1)

@@ -49,6 +49,16 @@ def _load():
     lib.ncio_parse_table.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong]
+    if hasattr(lib, "ncio_file_sizes"):
+        lib.ncio_file_sizes.restype = None
+        lib.ncio_file_sizes.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.ncio_read_files.restype = None
+        lib.ncio_read_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return _lib
 
@@ -115,3 +125,37 @@ def parse_table(path: str, ncols: int, skip_header: int,
     if n < 0:
         return None
     return out[:n].copy()
+
+
+def read_files(paths: list) -> list:
+    """Read many files concurrently through the native OpenMP pool.
+
+    Returns a list of `bytes` (None for unreadable paths).  Falls back to
+    sequential Python reads when the native library is absent — same
+    contract, just without the IO overlap.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ncio_read_files"):
+        out = []
+        for p in paths:
+            try:
+                with open(p, "rb") as fh:
+                    out.append(fh.read())
+            except OSError:
+                out.append(None)
+        return out
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    sizes = np.empty(n, np.int64)
+    lib.ncio_file_sizes(c_paths, n, sizes.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_longlong)))
+    bufs = [np.empty(max(int(s), 0), np.uint8) for s in sizes]
+    c_bufs = (ctypes.c_char_p * n)(*[
+        ctypes.cast(b.ctypes.data, ctypes.c_char_p) for b in bufs])
+    status = np.empty(n, np.int32)
+    lib.ncio_read_files(c_paths, n, c_bufs,
+                        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return [bufs[i].tobytes() if status[i] == 0 else None for i in range(n)]

@@ -126,3 +126,42 @@ long long ncio_parse_table(const char* path, int ncols, int skip_header,
 int ncio_version(void) { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel file loader: the ingest layer opens hundreds of small NetCDFs per
+// radiosonde launch (the reference's hot ingest loop, MWR_read_in_module.py
+// get_tbs_from_l1); reading them through one OpenMP pool overlaps the
+// per-file syscall + page-cache latency.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Size of each file in bytes (-1 when unreadable).
+void ncio_file_sizes(const char* const* paths, long long n, long long* sizes) {
+#pragma omp parallel for schedule(dynamic)
+    for (long long i = 0; i < n; ++i) {
+        FILE* f = std::fopen(paths[i], "rb");
+        if (!f) { sizes[i] = -1; continue; }
+        std::fseek(f, 0, SEEK_END);
+        sizes[i] = std::ftell(f);
+        std::fclose(f);
+    }
+}
+
+// Read file i fully into dst[i] (caller-allocated, sizes[i] bytes).
+// status[i]: 0 ok, -1 failed.
+void ncio_read_files(const char* const* paths, long long n,
+                     char* const* dst, const long long* sizes, int* status) {
+#pragma omp parallel for schedule(dynamic)
+    for (long long i = 0; i < n; ++i) {
+        status[i] = -1;
+        if (sizes[i] < 0) continue;
+        FILE* f = std::fopen(paths[i], "rb");
+        if (!f) continue;
+        size_t got = std::fread(dst[i], 1, (size_t)sizes[i], f);
+        std::fclose(f);
+        if ((long long)got == sizes[i]) status[i] = 0;
+    }
+}
+
+}  // extern "C"

@@ -91,3 +91,19 @@ def test_params_roundtrip(tmp_path, fitted):
     loaded = fast.load_params(str(path))
     np.testing.assert_array_equal(np.asarray(params["w"]),
                                   np.asarray(loaded["w"]))
+
+
+def test_lanes_serving_path_matches_batch():
+    profiles = lbl.demo_batch(5, n_levels=48)
+    cfg = fast.FastConfig(elevations_deg=(90.0, 14.4))
+    params = fast.fit_closed_form(profiles, cfg)
+    ref = fast.fast_forward_batch(params, profiles, cfg)
+    got = fast.fast_forward_batch(
+        params, profiles,
+        fast.FastConfig(elevations_deg=(90.0, 14.4), use_lanes=True))
+    assert set(got) == set(ref)
+    np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got["trans_level"]),
+                               np.asarray(ref["trans_level"]),
+                               rtol=0, atol=5e-3)

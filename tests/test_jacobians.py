@@ -86,3 +86,25 @@ def test_kmatrix_batch_shapes(prof):
     assert out["t"].shape == (2, 2, 3, 48)
     assert out["rho"].shape == (2, 2, 3, 48)
     assert np.all(np.isfinite(np.asarray(out["t"])))
+
+
+def test_fast_kmatrix_matches_finite_difference():
+    from mwr_fast_forward_operators_and_lbls_tpu.models import fast, jacobians
+
+    profiles = lbl.demo_batch(4, n_levels=32)
+    cfg = fast.FastConfig(elevations_deg=(90.0, 30.0))
+    params = fast.fit_closed_form(profiles, cfg)
+    k = jacobians.kmatrix_fast_batch(params, profiles, cfg, wrt=("t",))
+    assert k["t"].shape == (4, 2, 14, 32)
+
+    # central finite difference on one level of one profile
+    lev, prof = 5, 1
+    eps = 0.05
+    def tb(dt):
+        pr = {kk: np.array(v, copy=True) for kk, v in profiles.items()}
+        pr["t"][prof, lev] += dt
+        return np.asarray(fast.fast_forward_batch(
+            params, {kk: jnp.asarray(v) for kk, v in pr.items()}, cfg)["tb"])
+    fd = (tb(eps) - tb(-eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(k["t"])[prof, :, :, lev],
+                               fd[prof], rtol=0, atol=5e-3)

@@ -55,3 +55,38 @@ def test_netcdf_read_uses_native(tmp_path):
     netcdf.write(path, ds)
     r = netcdf.read(path)
     np.testing.assert_array_equal(r["x"].data, ds["x"].data)
+
+
+def test_read_files_parallel(tmp_path):
+    from mwr_fast_forward_operators_and_lbls_tpu.utils import native
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"f{i}.bin"
+        p.write_bytes(bytes([i]) * (100 + i))
+        paths.append(str(p))
+    paths.append(str(tmp_path / "missing.bin"))
+    out = native.read_files(paths)
+    assert out[-1] is None
+    for i in range(12):
+        assert out[i] == bytes([i]) * (100 + i)
+
+
+def test_read_many_netcdf(tmp_path):
+    import numpy as np
+    from mwr_fast_forward_operators_and_lbls_tpu.data import netcdf
+    from mwr_fast_forward_operators_and_lbls_tpu.data.dataset import Dataset
+
+    paths = []
+    for i in range(4):
+        ds = Dataset()
+        ds["x"] = (("n",), np.arange(5, dtype="f4") + i, {})
+        p = str(tmp_path / f"d{i}.nc")
+        netcdf.write(p, ds)
+        paths.append(p)
+    paths.append(str(tmp_path / "nope.nc"))
+    got = netcdf.read_many(paths)
+    assert got[-1] is None
+    for i in range(4):
+        np.testing.assert_array_equal(got[i]["x"].data,
+                                      np.arange(5, dtype="f4") + i)

@@ -83,3 +83,13 @@ def test_forward_sharded_pallas_path(mesh8):
     assert set(got) == {"tb", "tau_total"}
     np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
                                rtol=0, atol=2e-2)
+
+
+def test_scaling_harness(mesh8):
+    from mwr_fast_forward_operators_and_lbls_tpu.parallel import scaling
+    cfg = lbl.LBLConfig(model="R98", elevations_deg=(90.0,), outputs=("tb",))
+    rows = scaling.measure(per_device_batch=2, n_levels=24,
+                           device_counts=(1, 2), config=cfg, iters=3)
+    assert [r["n_devices"] for r in rows] == [1, 2]
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["spectra_per_s"] > 0 for r in rows)
