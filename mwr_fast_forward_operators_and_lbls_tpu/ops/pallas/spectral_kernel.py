@@ -1,0 +1,225 @@
+"""Pallas kernel for high-resolution monochromatic absorption spectra.
+
+The channel kernel (absorption_kernel.py) bakes a *static* channel set into
+the instruction stream — perfect for 14 HATPRO channels, impossible for the
+50k-frequency monochromatic grid of BASELINE config 4.  This kernel flips
+the layout: frequencies ride the 128-wide lane axis as *data*, and the
+(level x profile) points ride the sublane axis, so one grid step evaluates
+8 points x 128 frequencies of the line summation on full VPU tiles.
+
+Division of labor: everything that depends only on the atmospheric point —
+line widths, strengths, mixing, continua bases (all the transcendentals) —
+is precomputed by XLA over the (n_lines, N) arrays and packed into a single
+row-table input; the kernel body is pure per-(line, frequency) resonance
+math: ~10 multiply/add + one divide per pair, with runtime Clough-cutoff
+masks.  This keeps the kernel compute-bound without unrolling anything over
+frequency.
+
+The XLA alternative materializes a (F, N, n_lines) broadcast — 55x the
+output size in HBM traffic; this kernel reads ~160 rows of N once and
+writes alpha (N, F) once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants.h2o_lines import H2O_MODELS
+from ...constants.o2_lines import O2_MODELS
+
+ROWS = 8      # points per grid step (sublanes)
+FLANES = 128  # frequencies per grid step (lanes)
+
+
+def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
+    """Precompute all per-point line/continuum quantities: (n_rows, N).
+
+    Row layout (Python-side constants consumed by the kernel builder):
+      h2o width/s per line, o2 df/strength/yy per line, then the scalar rows
+      listed in `_SCALAR_ROWS`.
+    """
+    h2o = H2O_MODELS[model]
+    o2 = O2_MODELS[model]
+    p = p_hpa
+    t = t_k
+    rho = rho_gm3
+    w = lwc_gm3
+
+    ti = 300.0 / t
+    log_ti = jnp.log(ti)
+    pvap = rho * t * (1.0 / 217.0)
+    pda = p - pvap
+    th1 = ti - 1.0
+    ti2 = jnp.exp(2.5 * log_ti)
+
+    rows = []
+    for li in range(np.asarray(h2o.fl).size):
+        width = float(np.asarray(h2o.w3)[li]) * pda \
+            * jnp.exp(float(np.asarray(h2o.x)[li]) * log_ti) \
+            + float(np.asarray(h2o.ws)[li]) * pvap \
+            * jnp.exp(float(np.asarray(h2o.xs)[li]) * log_ti)
+        s = float(np.asarray(h2o.s1)[li]) * ti2 \
+            * jnp.exp(float(np.asarray(h2o.b2)[li]) * (1.0 - ti))
+        rows.append(width)
+        rows.append(s)
+
+    b = jnp.exp(o2.x * log_ti)
+    den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
+    pb = 0.001 * p * b
+    for li in range(np.asarray(o2.f).size):
+        rows.append(float(np.asarray(o2.w300)[li]) * den)
+        rows.append(float(np.asarray(o2.s300)[li])
+                    * jnp.exp(-float(np.asarray(o2.be)[li]) * th1))
+        rows.append(pb * (float(np.asarray(o2.y300)[li])
+                          + float(np.asarray(o2.v)[li]) * th1))
+
+    dfnr = o2.wb300 * den
+    con_b = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
+             + h2o.cs * jnp.exp(h2o.xcs * log_ti) * pvap) * pvap
+    if model == "R98":
+        n2_b = 6.4e-14 * pda * pda * jnp.exp(3.55 * log_ti)
+    else:
+        n2_b = 6.5e-14 * pda * pda * jnp.exp(3.6 * log_ti)
+    theta1 = 1.0 - 300.0 / t
+    eps0 = 77.66 - 103.3 * theta1
+    inv_fp = jnp.exp(-7.88 * theta1) * (1.0 / 20.1)
+
+    scalars = {
+        "h2o_scale": (0.3183e-4 * 3.344e16) * rho,
+        "con_b": con_b,
+        "dfnr2": dfnr * dfnr,
+        "dfnr_over_th": dfnr / ti,
+        "o2_scale": (0.5034e12 / np.pi) * pda * ti * ti * ti,
+        "n2_b": n2_b,
+        "eps0": eps0,
+        "inv_fp": inv_fp,
+        "w_scaled": -0.06286 * w,
+    }
+    rows.extend(scalars.values())
+    return jnp.stack(rows), list(scalars)
+
+
+def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
+    h2o = H2O_MODELS[model]
+    o2 = O2_MODELS[model]
+    cut = float(h2o.cutoff_ghz)
+    cut2 = cut * cut
+    h2o_fl = np.asarray(h2o.fl, np.float64)
+    o2_f = np.asarray(o2.f, np.float64)
+    nh, no = h2o_fl.size, o2_f.size
+    assert not np.any(np.asarray(o2.g)) and not np.any(np.asarray(o2.dnu))
+    s_base = 2 * nh + 3 * no
+    sidx = {n: s_base + i for i, n in enumerate(scalar_names)}
+
+    def kernel(f_ref, rows_ref, out_ref):
+        # one sublane broadcast of the frequency row, reused by every line
+        f = jnp.broadcast_to(f_ref[:], (ROWS, FLANES))
+        f2 = f * f
+        row = lambda i: rows_ref[i]        # (ROWS, 1); lane-broadcasts cheap
+
+        # ---- H2O lines (runtime Clough masks) -----------------------------
+        acc = jnp.zeros((ROWS, FLANES), jnp.float32)
+        for li in range(nh):
+            fl = float(h2o_fl[li])
+            width = row(2 * li)
+            s = row(2 * li + 1)
+            wsq = width * width
+            sw = s * width
+            sbase = sw / (cut2 + wsq)
+            df1 = f - fl
+            df2 = f + fl
+            m1 = (jnp.abs(df1) < cut).astype(jnp.float32)
+            m2 = (jnp.abs(df2) < cut).astype(jnp.float32)
+            den1 = wsq + df1 * df1
+            den2 = wsq + df2 * df2
+            res = m1 * (sw / den1 - sbase) + m2 * (sw / den2 - sbase)
+            acc = acc + (1.0 / (fl * fl)) * res
+        h2o_alpha = (row(sidx["h2o_scale"]) * f2) * acc \
+            + row(sidx["con_b"]) * f2
+
+        # ---- O2 lines -----------------------------------------------------
+        acc = jnp.zeros((ROWS, FLANES), jnp.float32)
+        for li in range(no):
+            f0 = float(o2_f[li])
+            df = row(2 * nh + 3 * li)
+            strength = row(2 * nh + 3 * li + 1)
+            yy = row(2 * nh + 3 * li + 2)
+            dfsq = df * df
+            d1 = f - f0
+            d2 = f + f0
+            den1 = dfsq + d1 * d1
+            den2 = dfsq + d2 * d2
+            num1 = df + d1 * yy
+            num2 = df - d2 * yy
+            pair = (num1 * den2 + num2 * den1) / (den1 * den2)
+            acc = acc + (1.0 / (f0 * f0)) * (strength * pair)
+        nonres = row(sidx["dfnr_over_th"]) * 1.6e-17 * f2 \
+            / (f2 + row(sidx["dfnr2"]))
+        o2_alpha = jnp.maximum(
+            row(sidx["o2_scale"]) * (f2 * acc + nonres), 0.0)
+
+        # ---- dry continuum ------------------------------------------------
+        if model == "R98":
+            n2 = row(sidx["n2_b"]) * f2
+        else:
+            fdep = 0.5 + 0.5 / (1.0 + (f * (1.0 / 450.0)) ** 2)
+            n2 = row(sidx["n2_b"]) * fdep * f2
+
+        # ---- cloud liquid -------------------------------------------------
+        eps0 = row(sidx["eps0"])
+        eps1 = 0.0671 * eps0
+        eps2 = 3.52
+        u = f * row(sidx["inv_fp"])
+        vv = u * (1.0 / 39.8)
+        uu1 = 1.0 + u * u
+        vv1 = 1.0 + vv * vv
+        d01 = eps0 - eps1
+        re = eps2 + d01 / uu1 + (eps1 - eps2) / vv1
+        im = -d01 * u / uu1 - (eps1 - eps2) * vv / vv1
+        aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
+        liq = (f * aimag) * row(sidx["w_scaled"])
+
+        out_ref[:] = h2o_alpha + o2_alpha + n2 + liq
+
+    return kernel, s_base + n_scalar_rows
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def absorption_spectral(f_ghz, p_hpa, t_k, rho_gm3, lwc_gm3,
+                        model: str = "R24"):
+    """Monochromatic absorption: (F,) x (N,) point arrays -> (N, F) [Np/km].
+
+    F must be a multiple of 128 and N a multiple of 8 (pad and slice).
+    """
+    n = p_hpa.shape[0]
+    nf = f_ghz.shape[0]
+    if n % ROWS or nf % FLANES:
+        raise ValueError(f"N={n} must be multiple of {ROWS}, F={nf} of {FLANES}")
+    rows, scalar_names = _pack_rows(model, p_hpa.astype(jnp.float32),
+                                    t_k.astype(jnp.float32),
+                                    rho_gm3.astype(jnp.float32),
+                                    lwc_gm3.astype(jnp.float32))
+    kernel, n_rows = _build_kernel(model, len(scalar_names),
+                                   tuple(scalar_names))
+    grid = (n // ROWS, nf // FLANES)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, FLANES), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, ROWS, 1), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, FLANES), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nf), jnp.float32),
+        interpret=(jax.default_backend() != "tpu"),
+    )(f_ghz.astype(jnp.float32).reshape(1, nf), rows[:, :, None])
+    return out
