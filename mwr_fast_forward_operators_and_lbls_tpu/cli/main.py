@@ -122,6 +122,101 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_retrieve(args) -> int:
+    """OEM retrieval of (T, rho) profiles from a dataset's observed TBs."""
+    import numpy as np
+
+    from ..data import netcdf, preprocess
+    from ..data.dataset import Variable
+    from ..models import fast, retrieval
+
+    ds = netcdf.read(args.input)
+    params = fast.load_params(args.fast_params)
+    raw = preprocess.profiles_for_forward(ds, crop=0)
+    tb_name = args.tb_var
+    if tb_name not in ds:
+        print(f"variable {tb_name!r} not in dataset", file=sys.stderr)
+        return 1
+    import jax.numpy as jnp
+
+    tb = np.asarray(ds[tb_name].data, np.float64)  # (time, chan, elev[, crop])
+    if tb.ndim == 4:
+        tb = tb[..., 0]
+    ocfg = retrieval.OEMConfig()
+    n = tb.shape[0]
+    t_out = np.full((n, raw["z"].shape[1]), np.nan, "f4")
+    rho_out = np.full_like(t_out, np.nan)
+    for i in range(n):
+        obs = np.transpose(tb[i])          # (elev, chan)
+        if not np.isfinite(obs).all() or not all(
+                np.isfinite(np.asarray(raw[k][i])).all()
+                for k in ("z", "p", "t", "rho")):
+            continue
+        lwc = raw.get("lwc")
+        out = retrieval.retrieve(
+            params, jnp.asarray(obs, jnp.float32), jnp.asarray(raw["z"][i]),
+            jnp.asarray(raw["p"][i]), jnp.asarray(raw["t"][i]),
+            jnp.asarray(raw["rho"][i]), ocfg,
+            None if lwc is None else jnp.asarray(lwc[i]))
+        t_out[i] = np.asarray(out["t"])
+        rho_out[i] = np.asarray(out["rho"])
+    ds["Retrieved_T"] = Variable(("time", "N_Levels"), t_out,
+                                 {"units": "K", "long_name":
+                                  "1D-Var retrieved temperature"})
+    ds["Retrieved_rho"] = Variable(("time", "N_Levels"), rho_out,
+                                   {"units": "g m-3", "long_name":
+                                    "1D-Var retrieved vapor density"})
+    netcdf.write(args.output, ds)
+    print(f"wrote {args.output} with Retrieved_T/Retrieved_rho")
+    return 0
+
+
+def cmd_spectral(args) -> int:
+    """High-res monochromatic spectra for every profile in a dataset."""
+    import numpy as np
+
+    from ..data import netcdf, preprocess
+    from ..data.dataset import Dataset, Variable
+    from ..models import spectral as spec_mod
+
+    import jax.numpy as jnp
+
+    ds = netcdf.read(args.input)
+    raw = preprocess.profiles_for_forward(ds, crop=0)
+    mask = np.ones(raw["z"].shape[0], bool)
+    for v in raw.values():
+        mask &= np.isfinite(np.asarray(v)).all(axis=1)
+    profiles = {k: jnp.asarray(np.asarray(v)[mask]) for k, v in raw.items()}
+    f = jnp.linspace(args.f_min, args.f_max, args.n_freqs)
+    out = spec_mod.forward_spectral(profiles, f, (args.elevation,),
+                                    args.model, freq_chunk=args.chunk)
+    res = Dataset()
+    res["frequency"] = (("frequency",), np.asarray(f, "f8"),
+                        {"units": "GHz"})
+    res["TB_spectrum"] = Variable(
+        ("time", "frequency"), np.asarray(out["tb"][:, 0, :], "f4"),
+        {"units": "K", "long_name":
+         f"monochromatic downwelling TB, {args.model}, "
+         f"{args.elevation} deg elevation"})
+    res["tau_spectrum"] = Variable(
+        ("time", "frequency"), np.asarray(out["tau_total"][:, 0, :], "f4"),
+        {"long_name": "total slant opacity"})
+    netcdf.write(args.output, res)
+    print(f"wrote {args.output}: {int(mask.sum())} profiles x "
+          f"{args.n_freqs} frequencies")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    """One-chip throughput + scaling sweep (JSON lines)."""
+    from ..parallel import scaling
+
+    for row in scaling.measure(per_device_batch=args.batch):
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in row.items()}))
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps(asdict(PipelineConfig()), indent=2, default=list))
     return 0
@@ -173,6 +268,32 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--compat", dest="compat_aliases", action="store_true",
                     default=None)
     se.set_defaults(fn=cmd_evaluate)
+
+    sr = sub.add_parser("retrieve",
+                        help="1D-Var (T, rho) retrieval from observed TBs")
+    sr.add_argument("-i", "--input", required=True)
+    sr.add_argument("-o", "--output", required=True)
+    sr.add_argument("--fast-params", required=True,
+                    help="npz with fast-operator coefficients")
+    sr.add_argument("--tb-var", default="TBs_Fast",
+                    help="TB variable to invert (time, chan, elev[, crop])")
+    sr.set_defaults(fn=cmd_retrieve)
+
+    ss = sub.add_parser("spectral", help="high-res monochromatic spectra")
+    ss.add_argument("-i", "--input", required=True)
+    ss.add_argument("-o", "--output", required=True)
+    ss.add_argument("--f-min", type=float, default=20.0)
+    ss.add_argument("--f-max", type=float, default=64.0)
+    ss.add_argument("--n-freqs", type=int, default=50000)
+    ss.add_argument("--elevation", type=float, default=90.0)
+    ss.add_argument("--model", default="R24")
+    ss.add_argument("--chunk", type=int, default=4096)
+    ss.set_defaults(fn=cmd_spectral)
+
+    sb = sub.add_parser("bench", help="throughput + scaling sweep")
+    sb.add_argument("--batch", type=int, default=256,
+                    help="per-device profile batch")
+    sb.set_defaults(fn=cmd_bench)
 
     sc = sub.add_parser("config", help="print the default typed config")
     sc.set_defaults(fn=cmd_config)

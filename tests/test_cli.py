@@ -63,3 +63,31 @@ def test_cli_config(capsys):
 def test_cli_missing_sondes(tmp_path):
     assert main(["preprocess", "--sondes", f"{tmp_path}/nope*.nc",
                  "-o", str(tmp_path / "x.nc")]) == 1
+
+
+def test_cli_retrieve_and_spectral(raw, tmp_path):
+    harm = str(tmp_path / "h.nc")
+    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
+                 "--campaign", "V", "--location", "J",
+                 "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
+    params = str(tmp_path / "p.npz")
+    assert main(["distill", "-i", harm, "-o", params]) == 0
+    results = str(tmp_path / "r.nc")
+    assert main(["forward", "-i", harm, "-o", results, "--models", "R24",
+                 "--fast-params", params]) == 0
+
+    ret = str(tmp_path / "ret.nc")
+    assert main(["retrieve", "-i", results, "-o", ret,
+                 "--fast-params", params]) == 0
+    ds = netcdf.read(ret)
+    t = ds["Retrieved_T"].data
+    valid = np.isfinite(t).all(axis=1)
+    assert valid.any()
+    assert (t[valid] > 150).all() and (t[valid] < 330).all()
+
+    spec = str(tmp_path / "spec.nc")
+    assert main(["spectral", "-i", harm, "-o", spec, "--n-freqs", "256",
+                 "--f-min", "22.0", "--f-max", "32.0"]) == 0
+    sd = netcdf.read(spec)
+    assert sd["TB_spectrum"].data.shape[1] == 256
+    assert np.isfinite(sd["TB_spectrum"].data).all()
