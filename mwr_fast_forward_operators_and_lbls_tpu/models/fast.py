@@ -292,11 +292,16 @@ def _default_optimizer():
 
 
 def distill(profiles: dict, config: FastConfig = FastConfig(),
-            steps: int = 200, log_every: int = 50) -> tuple[dict, list]:
+            steps: int = 200, log_every: int = 50,
+            checkpoint_dir: str | None = None,
+            checkpoint_every: int = 100) -> tuple[dict, list]:
     """Closed-form init + TB-space fine-tune against the LBL teacher.
 
     Returns (params, loss_history).  `profiles` may be mesh-sharded; all
-    compute stays on device.
+    compute stays on device.  With `checkpoint_dir`, training state is
+    periodically persisted and a fresh call resumes from the latest step
+    (parallel/checkpoint.py — the intra-stage resume the reference lacks,
+    SURVEY.md section 5).
     """
     params = fit_closed_form(profiles, config)
     teacher_cfg = lbl_mod.LBLConfig(
@@ -304,14 +309,27 @@ def distill(profiles: dict, config: FastConfig = FastConfig(),
         elevations_deg=config.elevations_deg)
     targets = lbl_mod.forward_batch(profiles, teacher_cfg)["tb"]
     optimizer = _default_optimizer()
-    opt_state = optimizer.init(params)
+    state = {"params": params, "opt_state": optimizer.init(params),
+             "step": jnp.int32(0)}
+    mgr = None
+    if checkpoint_dir is not None:
+        from ..parallel import checkpoint as ckpt_mod
+
+        mgr = ckpt_mod.CheckpointManager(checkpoint_dir,
+                                         every=checkpoint_every)
+        state = mgr.restore_or(state)
     history = []
-    for i in range(steps):
-        params, opt_state, loss = train_step(params, opt_state, profiles,
-                                             targets, config, optimizer)
+    for i in range(int(np.asarray(state["step"])), steps):
+        params, opt_state, loss = train_step(
+            state["params"], state["opt_state"], profiles, targets, config,
+            optimizer)
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.int32(i + 1)}
+        if mgr is not None:
+            mgr.maybe_save(state)
         if log_every and i % log_every == 0:
             history.append(float(loss))
-    return params, history
+    return state["params"], history
 
 
 def distill_on_dataset(ds, config: FastConfig = FastConfig(),

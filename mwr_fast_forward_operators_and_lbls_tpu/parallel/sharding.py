@@ -88,13 +88,19 @@ def forward_sharded_placed(placed: dict, mesh: Mesh,
 
 def forward_spectral_sharded(profiles: dict, f_ghz, mesh: Mesh,
                              model: str = "R24",
-                             elevations_deg=(90.0,)) -> jax.Array:
+                             elevations_deg=(90.0,),
+                             freq_chunk: int = 4096) -> jax.Array:
     """High-res monochromatic LBL with the frequency grid sharded over
     `spectral` and profiles over `data` (BASELINE config 4, the 50k-point
     grid — this domain's long-context axis, SURVEY.md section 5).
 
+    Each device runs the fused spectral-kernel path (models/spectral.py) on
+    its frequency slice; the sweep is embarrassingly parallel and the only
+    cross-device traffic is the SRF-convolution reduction downstream.
     Returns tb of shape (B, E, F).
     """
+    from ..models import spectral as spec_mod
+
     n_s = mesh.shape[SPECTRAL_AXIS]
     f = jnp.asarray(f_ghz, jnp.float32)
     nf = f.shape[0]
@@ -103,25 +109,20 @@ def forward_spectral_sharded(profiles: dict, f_ghz, mesh: Mesh,
         f = jnp.concatenate([f, jnp.broadcast_to(f[-1:], (nfp - nf,))])
     f = jax.device_put(f, NamedSharding(mesh, P(SPECTRAL_AXIS)))
     placed = shard_profiles(profiles, mesh)
-    elevs = jnp.asarray(elevations_deg, jnp.float32)
+    elevs = tuple(float(e) for e in elevations_deg)
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=("model",),
-        out_shardings=NamedSharding(mesh, P(DATA_AXIS, None, SPECTRAL_AXIS)),
-    )
-    def fwd(pr, f, elevs, model):
-        lwc = pr.get("lwc", jnp.zeros_like(pr["rho"]))
+    def local(pr, fl):
+        return spec_mod.forward_spectral(pr, fl, elevs, model,
+                                         freq_chunk=freq_chunk)["tb"]
 
-        def one(zi, pi, ti, ri, li):
-            return jax.vmap(
-                lambda el: lbl.forward_single(zi, pi, ti, ri, li, f, el, model)["tb"]
-            )(elevs)
-
-        return jax.vmap(one)(pr["z"], pr["p"], pr["t"], pr["rho"], lwc)
-
+    fwd = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=({k: P(DATA_AXIS, None) for k in placed}, P(SPECTRAL_AXIS)),
+        out_specs=P(DATA_AXIS, None, SPECTRAL_AXIS),
+        check_vma=False,
+    ))
     b = profiles["z"].shape[0]
-    return fwd(placed, f, elevs, model)[:b, :, :nf]
+    return fwd(placed, f)[:b, :, :nf]
 
 
 def srf_convolve(tb_mono: jax.Array, weights: jax.Array) -> jax.Array:

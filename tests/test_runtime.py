@@ -62,3 +62,22 @@ def test_roofline_bounds():
     assert r.flops > 0 and r.hbm_bytes > 0
     t = r.time_bound_s()
     assert 1e-5 < t < 1.0
+
+
+def test_distill_checkpoint_resume(tmp_path):
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+    profiles = lbl.demo_batch(4, n_levels=24)
+    cfg = fast.FastConfig(elevations_deg=(90.0,))
+    ckdir = str(tmp_path / "distill")
+    p1, _ = fast.distill(profiles, cfg, steps=4, checkpoint_dir=ckdir,
+                         checkpoint_every=2)
+    mgr = ckpt.CheckpointManager(ckdir, every=2)
+    assert mgr.steps()  # checkpoints written
+    # resume: a fresh call continues from the last checkpoint and must land
+    # on the same final weights (deterministic training)
+    p2, _ = fast.distill(profiles, cfg, steps=6, checkpoint_dir=ckdir,
+                         checkpoint_every=2)
+    p3, _ = fast.distill(profiles, cfg, steps=6)
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p3["w"]),
+                               rtol=0, atol=1e-5)
