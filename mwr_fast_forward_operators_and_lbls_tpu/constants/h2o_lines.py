@@ -104,6 +104,17 @@ class H2OModel:
     xcs: float = 7.5
     # Local line-shape cutoff [GHz] (Clough convention) and its base offset.
     cutoff_ghz: float = 750.0
+    # Quadratic speed-dependence of the pressure-broadened width (qSD-VVW
+    # line shape, Rosenkranz 2018 SD releases): gamma2 components for air
+    # (w2) and self (ws2) broadening [GHz/mb]; zero selects the ordinary
+    # Van Vleck-Weisskopf shape for that line.
+    w2: np.ndarray = field(default_factory=lambda: np.zeros(N_H2O_LINES))
+    ws2: np.ndarray = field(default_factory=lambda: np.zeros(N_H2O_LINES))
+
+    @property
+    def has_sd(self) -> bool:
+        """True if any line carries speed-dependent width parameters."""
+        return bool(np.any(self.w2 != 0.0) or np.any(self.ws2 != 0.0))
 
 
 def _with_line(model: H2OModel, idx: int, **updates) -> H2OModel:
@@ -140,4 +151,56 @@ R24 = _with_line(
 )
 R24 = _with_line(R24, 1, fl=183.31009, w3=0.00300, x=0.77, ws=0.01356, xs=0.85)
 
-H2O_MODELS = {"R98": R98, "R17": R17, "R20": R20, "R24": R24}
+# ---------------------------------------------------------------------------
+# The remaining five members of the nine-model sweep the reference's zenith
+# study runs (R17,R03,R16,R19,R98,R19SD,R20,R20SD,R24 — slice map in
+# /root/reference/python_src/merge_data_into_netCDF/old_merge2nc.py:417-435).
+# Deltas below are the *documented* changes of each release; parameters with
+# no public tabulation are carried at the nearest release's values (same
+# policy as the R17/R20/R24 tables above).
+# ---------------------------------------------------------------------------
+
+# R03: Rosenkranz 2003 update of abh2o — 22-GHz air width per the
+# Tretyakov et al. (2003) remeasurement, slight self-continuum retune;
+# everything else at R98.
+R03 = _with_line(
+    H2OModel(name="R03", cf=5.43e-10, xcf=3.0, cs=1.77e-08, xcs=7.5),
+    0, w3=0.00278, x=0.716, ws=0.01349,
+)
+
+# R16: 2016 release — Tretyakov (2016) review line parameters for the 22 and
+# 183 GHz lines (the same line deltas later carried into R17), but still the
+# pre-2017 continuum.
+R16 = _with_line(
+    H2OModel(name="R16"),
+    0, fl=22.23508, w3=0.00269, x=0.76, ws=0.01344, xs=1.05,
+)
+R16 = _with_line(R16, 1, fl=183.31009, w3=0.00300, x=0.77, ws=0.01356, xs=0.85)
+
+# R19: 2019 release — R17 continuum with the Koshelev et al. (2018) 22-GHz
+# widths (the line update that also feeds R20).
+R19 = _with_line(
+    H2OModel(name="R19", cf=5.96e-10, xcf=3.0, cs=1.42e-08, xcs=7.5),
+    0, fl=22.23508, w3=0.00271, x=0.76, ws=0.01349, xs=1.05,
+)
+R19 = _with_line(R19, 1, fl=183.31009, w3=0.00300, x=0.77, ws=0.01356, xs=0.85)
+
+# Speed-dependent variants: quadratic speed dependence of the collisional
+# width on the 22.235 and 183.31 GHz lines.  gamma2/gamma0 ratios per
+# Koshelev et al. (2018) dual-spectrometer 22-GHz study (~0.128 air,
+# ~0.127 self) and the 183-GHz SD fits of Koshelev et al. (2021) (~0.12).
+R19SD = _with_line(replace(R19, name="R19SD"), 0, w2=3.47e-4, ws2=1.71e-3)
+R19SD = _with_line(R19SD, 1, w2=3.60e-4, ws2=1.63e-3)
+
+R20SD = _with_line(replace(R20, name="R20SD"), 0, w2=3.47e-4, ws2=1.71e-3)
+R20SD = _with_line(R20SD, 1, w2=3.60e-4, ws2=1.63e-3)
+
+H2O_MODELS = {
+    "R98": R98, "R03": R03, "R16": R16, "R17": R17, "R19": R19,
+    "R19SD": R19SD, "R20": R20, "R20SD": R20SD, "R24": R24,
+}
+
+# The reference's old zenith pipeline evaluates exactly these nine, in this
+# CSV slice order (old_merge2nc.py:417-435).
+ZENITH_SWEEP_MODELS = ("R17", "R03", "R16", "R19", "R98",
+                       "R19SD", "R20", "R20SD", "R24")

@@ -118,4 +118,17 @@ O2_R17 = O2Model(name="R17", w300=_W2005, h2o_factor=1.2)
 O2_R20 = O2Model(name="R20", w300=_W2005, h2o_factor=1.2)
 O2_R24 = O2Model(name="R24", w300=_W2005, h2o_factor=1.2)
 
-O2_MODELS = {"R98": O2_R98, "R17": O2_R17, "R20": O2_R20, "R24": O2_R24}
+# Remaining members of the nine-model sweep (old_merge2nc.py:417-435).
+# O2 changed far less often than H2O across the Rosenkranz releases:
+# R03 still carries the 1995 widths / 1.1 vapor factor; the 2016+ releases
+# all use the Tretyakov (2005) 60-GHz widths and the Koshelev 1.2 factor.
+# The speed-dependent variants differ from their parents in H2O only.
+O2_R03 = O2Model(name="R03")
+O2_R16 = O2Model(name="R16", w300=_W2005, h2o_factor=1.2)
+O2_R19 = O2Model(name="R19", w300=_W2005, h2o_factor=1.2)
+
+O2_MODELS = {
+    "R98": O2_R98, "R03": O2_R03, "R16": O2_R16, "R17": O2_R17,
+    "R19": O2_R19, "R19SD": O2_R19, "R20": O2_R20, "R20SD": O2_R20,
+    "R24": O2_R24,
+}

@@ -98,7 +98,11 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
     lwc = jnp.zeros_like(rho) if (lwc is None or not config.include_liquid) \
         else lwc.astype(dtype)
 
-    if config.use_pallas:
+    # The fused kernel evaluates VVW shapes only; the qSD line shape of the
+    # *SD variants needs complex arithmetic, so those route through the XLA
+    # path (the reference, too, runs them only in the offline 9-model sweep).
+    from ..constants.h2o_lines import H2O_MODELS
+    if config.use_pallas and not H2O_MODELS[config.model].has_sd:
         return _forward_batch_lanes(z, p, t, rho, lwc, f, config)
 
     def one(zi, pi, ti, ri, li):
@@ -158,7 +162,10 @@ def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig):
 def forward_all_models(profiles: dict, config: LBLConfig = LBLConfig(),
                        models: Sequence[str] = ("R98", "R17", "R20", "R24")):
     """TBs for several absorption models (the reference runs 4 per profile,
-    PyRTlib_processing.py:121-151).  Returns {model: tb (B, E, F)}."""
+    PyRTlib_processing.py:121-151; its zenith study sweeps all nine —
+    old_merge2nc.py:417-435 — pass
+    `models=constants.h2o_lines.ZENITH_SWEEP_MODELS` for that).
+    Returns {model: tb (B, E, F)}."""
     out = {}
     for m in models:
         cfg = LBLConfig(model=m, freqs_ghz=config.freqs_ghz,

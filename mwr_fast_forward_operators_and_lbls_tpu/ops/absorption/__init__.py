@@ -9,7 +9,9 @@ from .liquid import liquid_absorption  # noqa: F401
 from .n2 import n2_absorption  # noqa: F401
 from .o2 import o2_absorption  # noqa: F401
 
-ABSORPTION_MODELS = tuple(H2O_MODELS)  # "R98", "R17", "R20", "R24"
+# All nine Rosenkranz releases the reference sweeps (R98..R24 incl. the
+# speed-dependent R19SD/R20SD variants, old_merge2nc.py:417-435).
+ABSORPTION_MODELS = tuple(H2O_MODELS)
 
 
 def total_absorption(f_ghz, p_hpa, t_k, rho_gm3, lwc_gm3=None, model: str = "R24"):

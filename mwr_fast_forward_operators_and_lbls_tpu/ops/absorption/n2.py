@@ -15,7 +15,7 @@ def n2_absorption(f_ghz, p_hpa, t_k, variant: str = "R98"):
     f = jnp.asarray(f_ghz)
     p = jnp.asarray(p_hpa)
     th = 300.0 / jnp.asarray(t_k)
-    if variant == "R98":
+    if variant in ("R98", "R03"):
         return 6.4e-14 * p * p * f * f * th**3.55
     fdep = 0.5 + 0.5 / (1.0 + (f / 450.0) ** 2)
     return 6.5e-14 * fdep * p * p * f * f * th**3.6

@@ -111,3 +111,47 @@ def test_tables_have_expected_sizes():
         assert m.f.shape == (40,)
         # 60-GHz complex mixing coefficients sum to ~0 (sum rule)
         assert abs(float(np.sum(m.y300[:34] * m.s300[:34])) / float(np.sum(np.abs(m.y300[:34]) * m.s300[:34]))) < 0.2
+
+
+def test_nine_model_sweep_all_finite_positive():
+    # The reference's zenith study sweeps nine Rosenkranz releases
+    # (old_merge2nc.py:417-435); every member must produce physical alpha.
+    from mwr_fast_forward_operators_and_lbls_tpu.constants.h2o_lines import (
+        ZENITH_SWEEP_MODELS)
+    f = jnp.asarray([22.24, 31.4, 51.26, 58.0])
+    assert len(ZENITH_SWEEP_MODELS) == 9
+    for m in ZENITH_SWEEP_MODELS:
+        a = np.asarray(total_absorption(f, 1000.0, 290.0, 7.5, model=m))
+        assert np.isfinite(a).all() and (a > 0).all(), m
+
+
+def test_speed_dependent_variants_perturb_only_sd_lines():
+    # qSD narrows the 22-GHz line slightly (peak up a few %), and must leave
+    # frequencies far from the SD lines essentially unchanged.
+    f = jnp.asarray([22.235, 31.4, 58.0])
+    a = np.asarray(h2o_absorption(f, 1000.0, 290.0, 7.5, H2O_MODELS["R20"]))
+    asd = np.asarray(h2o_absorption(f, 1000.0, 290.0, 7.5, H2O_MODELS["R20SD"]))
+    rel = np.abs(asd - a) / a
+    assert 1e-4 < rel[0] < 0.05      # visible at line center
+    assert rel[2] < 1e-3             # negligible at 58 GHz
+    assert asd[0] > a[0]             # narrowing raises the peak
+
+
+def test_qsd_resonance_lorentzian_limit():
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.absorption.h2o import (
+        _qsd_resonance)
+    df = jnp.linspace(-5.0, 5.0, 21)
+    g0 = jnp.full_like(df, 2.6)
+    g2 = jnp.full_like(df, 1e-9)
+    lor = g0 / (df * df + g0 * g0)
+    q = _qsd_resonance(df, g0, g2)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(lor), rtol=5e-6)
+
+
+def test_sd_model_forward_batch_falls_back_from_pallas():
+    # use_pallas with an SD model must still produce TBs (XLA fallback path).
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+    profs = lbl.demo_batch(2, n_levels=40)
+    cfg = lbl.LBLConfig(model="R19SD", elevations_deg=(90.0,), use_pallas=True)
+    tb = np.asarray(lbl.forward_batch(profs, cfg)["tb"])
+    assert tb.shape[0] == 2 and np.isfinite(tb).all()
