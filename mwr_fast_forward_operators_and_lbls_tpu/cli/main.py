@@ -217,6 +217,31 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_simulate_rttov(args) -> int:
+    """Drop-in for the RTTOV-gb executable: prof_plev.dat -> output report
+    (text protocol of RTTOV_gb_processing.py:80-305)."""
+    from ..interop import rttov_gb
+
+    results = rttov_gb.simulate_profiles_dat(
+        args.input, args.output, n_levels=args.n_levels, model=args.model,
+        want_jacobians=not args.no_jacobians)
+    print(f"wrote {args.output}: {len(results)} profiles (TBs, "
+          f"transmittances{', K-matrix' if not args.no_jacobians else ''})")
+    return 0
+
+
+def cmd_simulate_arms(args) -> int:
+    """Drop-in for ARMS-gb FWD_Test: input NetCDF -> Sim_BT filled
+    (NetCDF protocol of ARMS_gb_processing.py:103-297)."""
+    from ..interop import arms_gb
+
+    sim = arms_gb.simulate_input_nc(args.input, args.output,
+                                    model=args.model,
+                                    include_o3=args.with_o3)
+    print(f"wrote {args.output}: Sim_BT {sim.shape}")
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps(asdict(PipelineConfig()), indent=2, default=list))
     return 0
@@ -294,6 +319,23 @@ def build_parser() -> argparse.ArgumentParser:
     sb.add_argument("--batch", type=int, default=256,
                     help="per-device profile batch")
     sb.set_defaults(fn=cmd_bench)
+
+    srt = sub.add_parser("simulate-rttov",
+                         help="act as RTTOV-gb: prof_plev.dat -> report")
+    srt.add_argument("-i", "--input", required=True)
+    srt.add_argument("-o", "--output", required=True)
+    srt.add_argument("--n-levels", type=int, default=180)
+    srt.add_argument("--model", default="R24")
+    srt.add_argument("--no-jacobians", action="store_true")
+    srt.set_defaults(fn=cmd_simulate_rttov)
+
+    sa = sub.add_parser("simulate-arms",
+                        help="act as ARMS-gb FWD_Test: fill Sim_BT")
+    sa.add_argument("-i", "--input", required=True)
+    sa.add_argument("-o", "--output", required=True)
+    sa.add_argument("--model", default="R24")
+    sa.add_argument("--with-o3", action="store_true")
+    sa.set_defaults(fn=cmd_simulate_arms)
 
     sc = sub.add_parser("config", help="print the default typed config")
     sc.set_defaults(fn=cmd_config)

@@ -44,6 +44,9 @@ class LBLConfig:
     # largest output and its layout restoration dominates the forward wall
     # time, so throughput-oriented callers should ask only for what they need.
     outputs: tuple = ("tb", "tau_total", "t_mr", "trans_level")
+    # Add ozone absorption from the profiles' "o3_ppmv" entry (falls back to
+    # AFGL climatology interpolated in z) — the ARMS-gb capability.
+    include_o3: bool = False
 
 
 def flip_profile(profile: dict) -> dict:
@@ -52,7 +55,7 @@ def flip_profile(profile: dict) -> dict:
 
 
 def forward_single(z_m, p_hpa, t_k, rho_gm3, lwc_gm3, f_ghz, elevation_deg,
-                   model: str = "R24"):
+                   model: str = "R24", o3_ppmv=None):
     """TB + opacity diagnostics for ONE profile at ONE elevation.
 
     Args:
@@ -60,7 +63,8 @@ def forward_single(z_m, p_hpa, t_k, rho_gm3, lwc_gm3, f_ghz, elevation_deg,
         rho is water-vapor density [g/m^3], lwc cloud liquid [g/m^3].
       f_ghz: (F,) frequencies.
       elevation_deg: scalar elevation angle.
-      model: absorption-model name ("R98" | "R17" | "R20" | "R24").
+      model: absorption-model name (any of the nine H2O_MODELS keys).
+      o3_ppmv: optional (L,) ozone profile [ppmv] (ARMS-gb parity).
 
     Returns dict of tb (F,), tau_total (F,), trans_level (F, L), t_mr (F,).
     """
@@ -68,6 +72,7 @@ def forward_single(z_m, p_hpa, t_k, rho_gm3, lwc_gm3, f_ghz, elevation_deg,
     alpha = total_absorption(
         f_ghz[:, None], p_hpa[None, :], t_k[None, :], rho_gm3[None, :],
         lwc_gm3[None, :] if lwc_gm3 is not None else None, model=model,
+        o3_ppmv=o3_ppmv[None, :] if o3_ppmv is not None else None,
     )
     ds_km = geometry.slant_path_lengths(z_m, p_hpa, t_k, e_hpa, elevation_deg)
     return rte.downwelling_tb(alpha, ds_km, t_k, f_ghz)
@@ -99,18 +104,33 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
         else lwc.astype(dtype)
 
     # The fused kernel evaluates VVW shapes only; the qSD line shape of the
-    # *SD variants needs complex arithmetic, so those route through the XLA
-    # path (the reference, too, runs them only in the offline 9-model sweep).
+    # *SD variants (and the optional O3 term) route through the XLA path —
+    # the reference, too, runs those only in offline sweeps.
     from ..constants.h2o_lines import H2O_MODELS
-    if config.use_pallas and not H2O_MODELS[config.model].has_sd:
+    if (config.use_pallas and not H2O_MODELS[config.model].has_sd
+            and not config.include_o3):
         return _forward_batch_lanes(z, p, t, rho, lwc, f, config)
 
-    def one(zi, pi, ti, ri, li):
+    o3 = None
+    if config.include_o3:
+        o3 = profiles.get("o3_ppmv")
+        if o3 is None:
+            from ..constants import afgl
+            clim = afgl.CLIMATOLOGIES["midlatitude_summer"]
+            o3 = jnp.interp(z / 1000.0, jnp.asarray(clim["z_km"], dtype),
+                            jnp.asarray(clim["o3_ppmv"], dtype))
+        o3 = o3.astype(dtype)
+
+    def one(zi, pi, ti, ri, li, oi=None):
         def at_elev(el):
-            return forward_single(zi, pi, ti, ri, li, f, el, config.model)
+            return forward_single(zi, pi, ti, ri, li, f, el, config.model,
+                                  o3_ppmv=oi)
         return jax.vmap(at_elev)(elevs)
 
-    out = jax.vmap(one)(z, p, t, rho, lwc)
+    if o3 is None:
+        out = jax.vmap(one)(z, p, t, rho, lwc)
+    else:
+        out = jax.vmap(one)(z, p, t, rho, lwc, o3)
     return {k: v for k, v in out.items() if k in config.outputs}
 
 
