@@ -242,6 +242,88 @@ def cmd_simulate_arms(args) -> int:
     return 0
 
 
+def cmd_run_all(args) -> int:
+    """End-to-end pipeline in one process: preprocess -> forward (all
+    models [+ fast distillation] [+ Jacobians]) -> analysis dataset ->
+    figure report + stats CSV.
+
+    The in-process, typed replacement of the reference's bash chain
+    (run_all_procs.sh:3-10: preproc -> ARMS -> RTTOV -> PyRTlib ->
+    summarize -> plots, each a separate Python process communicating
+    through NetCDF files).  Stage outputs are still written to the work
+    directory so any stage can be re-run or inspected independently
+    (the reference's stage-level checkpoint model, SURVEY.md section 5)."""
+    import os
+    import time as _time
+
+    from ..data import netcdf, preprocess
+    from ..eval import plots, report
+    from ..models import fast
+    from ..pipeline import forward_stage, merge
+
+    cfg = PipelineConfig.from_args(args)
+    os.makedirs(args.workdir, exist_ok=True)
+    log_path = os.path.join(args.workdir, "run_all.log")
+    log_fh = open(log_path, "a")
+
+    def log(msg):
+        line = f"[{_time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+        print(line)
+        log_fh.write(line + "\n")
+        log_fh.flush()
+
+    t0 = _time.time()
+    harmonized = os.path.join(args.workdir, "harmonized.nc")
+    if args.resume and os.path.exists(harmonized):
+        log(f"resume: reading existing {harmonized}")
+        ds = netcdf.read(harmonized)
+    else:
+        files = sorted(globmod.glob(args.sondes))
+        if not files:
+            print(f"no sonde files match {args.sondes!r}", file=sys.stderr)
+            return 1
+        log(f"preprocess: {len(files)} sonde files")
+        ds = preprocess.preprocess_files(
+            files, args.campaign, args.location,
+            mwr_files=_parse_mwr_specs(args.mwr) or None)
+        netcdf.write(harmonized, ds)
+        log(f"preprocess done: {ds.dims} -> {harmonized}")
+
+    params = None
+    if args.distill:
+        log(f"distill: teacher {cfg.teacher_model}")
+        params = fast.distill_on_dataset(
+            ds, fast.FastConfig(teacher_model=cfg.teacher_model),
+            steps=cfg.distill_steps)
+        fast.save_params(params, os.path.join(args.workdir, "fast_params.npz"))
+    log(f"forward: models {cfg.models}"
+        + (" + fast operator" if params is not None else ""))
+    ds = forward_stage(ds, models=cfg.models, fast_params=params,
+                       with_jacobians=cfg.with_jacobians,
+                       batch_size=cfg.batch_size)
+    if cfg.compat_aliases:
+        from ..eval import deviations
+        ds = deviations.compat_aliases(ds)
+    results = os.path.join(args.workdir, "results.nc")
+    netcdf.write(results, ds)
+    log(f"forward done -> {results}")
+
+    ds = merge.analysis_dataset(ds, compat=cfg.compat_aliases)
+    analysis = os.path.join(args.workdir, "analysis.nc")
+    netcdf.write(analysis, ds)
+    log(f"analysis dataset -> {analysis}")
+
+    outdir = os.path.join(args.workdir, "plots")
+    paths = plots.standard_report(ds, outdir)
+    rows = report.stats_table(ds)
+    csv_path = report.write_stats_csv(
+        rows, os.path.join(args.workdir, "stats.csv"))
+    log(f"report: {len(paths)} figures -> {outdir}; stats -> {csv_path}")
+    log(f"run-all complete in {_time.time() - t0:.1f} s")
+    log_fh.close()
+    return 0
+
+
 def cmd_config(args) -> int:
     print(json.dumps(asdict(PipelineConfig()), indent=2, default=list))
     return 0
@@ -336,6 +418,30 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--model", default="R24")
     sa.add_argument("--with-o3", action="store_true")
     sa.set_defaults(fn=cmd_simulate_arms)
+
+    sra = sub.add_parser(
+        "run-all", help="full pipeline: preprocess -> forward -> evaluate")
+    sra.add_argument("--sondes", required=True, help="radiosonde glob")
+    sra.add_argument("--campaign", default="campaign")
+    sra.add_argument("--location", default="site")
+    sra.add_argument("--mwr", action="append",
+                     help="instrument=glob (repeatable)")
+    sra.add_argument("--workdir", default="run_all_out",
+                     help="stage outputs + figures + log directory")
+    sra.add_argument("--models", default=None,
+                     help="comma list, e.g. R98,R17,R20,R24")
+    sra.add_argument("--distill", action="store_true",
+                     help="also fit + run the fast operator")
+    sra.add_argument("--with-jacobians", dest="with_jacobians",
+                     action="store_true", default=None)
+    sra.add_argument("--compat", dest="compat_aliases", action="store_true",
+                     default=None, help="add reference-schema variable names")
+    sra.add_argument("--batch-size", type=int, default=None)
+    sra.add_argument("--steps", dest="distill_steps", type=int, default=None)
+    sra.add_argument("--teacher", dest="teacher_model", default=None)
+    sra.add_argument("--resume", action="store_true",
+                     help="reuse an existing harmonized.nc in workdir")
+    sra.set_defaults(fn=cmd_run_all)
 
     sc = sub.add_parser("config", help="print the default typed config")
     sc.set_defaults(fn=cmd_config)

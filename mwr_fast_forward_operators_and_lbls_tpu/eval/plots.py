@@ -197,6 +197,60 @@ def plot_clear_sky_fraction(cloud_flag: np.ndarray, path: str,
     return _finish(fig, path)
 
 
+def plot_model_vs_model_by_iwv(dev_x: np.ndarray, dev_y: np.ndarray,
+                               iwv: np.ndarray, path: str,
+                               xlabel: str = "model A deviations from R24 [K]",
+                               ylabel: str = "model B deviations from R24 [K]",
+                               title: str = "", channel: int | None = None):
+    """Departure-vs-departure scatter of two models (each vs the same LBL
+    reference), colored by IWV (armsgb_vs_rttov_by_IWV,
+    multi_campaign_plots_and_ana.py:903-1041).
+
+    `dev_x`/`dev_y` are (time, chan) or (time, chan, elev) deviation arrays;
+    `iwv` is (time,).  With `channel=None` all channels are pooled (13 K
+    square axes when the data fits); with a channel index, the reference's
+    band-dependent axis length applies (13 K for K-band channels 0-6, 4 K
+    for V-band channels 7-13)."""
+    dx = np.asarray(dev_x, float)
+    dy = np.asarray(dev_y, float)
+    iw = np.asarray(iwv, float)
+    if dx.ndim == 3:                       # (time, chan, elev) -> stack elevs
+        n_elev = dx.shape[2]
+        dx = np.moveaxis(dx, 2, 1).reshape(-1, dx.shape[1])
+        dy = np.moveaxis(dy, 2, 1).reshape(-1, dy.shape[1])
+        iw = np.repeat(iw, n_elev)
+    if channel is not None:
+        x = dx[:, channel]
+        y = dy[:, channel]
+        colors = iw
+        axis_len = 13.0 if channel <= 6 else 4.0
+    else:
+        x = dx.ravel(order="F")            # channel-major like np.tile(iwv, 14)
+        y = dy.ravel(order="F")
+        colors = np.tile(iw, dx.shape[1])
+        axis_len = 13.0
+    valid = np.isfinite(x) & np.isfinite(y) & np.isfinite(colors)
+    x, y, colors = x[valid], y[valid], colors[valid]
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    sc = ax.scatter(x, y, c=colors, cmap="viridis", s=12, alpha=0.7)
+    ax.axvline(0, color="black", ls="--", lw=1)
+    ax.axhline(0, color="black", ls="--", lw=1)
+    in_x = x.size == 0 or np.nanmax(np.abs(x)) < axis_len + 1
+    in_y = y.size == 0 or np.nanmax(np.abs(y)) < axis_len + 1
+    if in_y:
+        ax.set_ylim(-axis_len, axis_len)
+    if in_x:
+        ax.set_xlim(-axis_len, axis_len)
+    if in_x and in_y:
+        ax.set_aspect("equal")
+    fig.colorbar(sc, ax=ax, label="IWV [kg m$^{-2}$]")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    return _finish(fig, path)
+
+
 def plot_departures_vs_iwv(dev: np.ndarray, iwv: np.ndarray, path: str,
                            ylabel: str = "TB departure [K]", title: str = ""):
     """Deviations vs IWV scatter (plot_departures_vs_iwv /
@@ -242,4 +296,25 @@ def standard_report(ds, outdir: str, dev_names: list | None = None) -> list:
     if "cloud_flag" in ds:
         paths.append(plot_clear_sky_fraction(
             ds["cloud_flag"].data, f"{outdir}/clear_sky_fraction.png"))
+
+    # Model-vs-model departure scatter colored by IWV for every pair of
+    # model deviation families that share the LBL reference — the
+    # armsgb_vs_rttov_by_IWV family (multi_campaign_plots_and_ana.py:903-1041).
+    iwv_names = [n for n in ds if n.endswith("_IWV")]
+    model_devs = [n for n in dev_names if n.endswith("_R24")
+                  and not any(inst in n for inst in
+                              ("hat", "Hat"))]  # exclude MWR-vs-ref families
+    if iwv_names and len(model_devs) >= 2:
+        iwv = np.asarray(ds[iwv_names[0]].data, float)
+        for a in range(len(model_devs)):
+            for b in range(a + 1, len(model_devs)):
+                na, nb = model_devs[a], model_devs[b]
+                la = na.replace("Deviations_", "").replace("_R24", "")
+                lb = nb.replace("Deviations_", "").replace("_R24", "")
+                paths.append(plot_model_vs_model_by_iwv(
+                    ds[na].data, ds[nb].data, iwv,
+                    f"{outdir}/{la}_vs_{lb}_by_IWV.png",
+                    xlabel=f"{la} deviations from R24 [K]",
+                    ylabel=f"{lb} deviations from R24 [K]",
+                    title=f"{la} vs {lb} departures by IWV"))
     return paths

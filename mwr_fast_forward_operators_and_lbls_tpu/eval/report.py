@@ -168,3 +168,76 @@ def plot_departures_vs_lwp(dev: np.ndarray, lwp: np.ndarray, path: str,
     ax.set_ylabel(ylabel)
     ax.set_title(title)
     return _finish(fig, path)
+
+
+# ---------------------------------------------------------------------------
+# Per-sonde bias plots (create_single_sonde_TSI_plot, final_zenith_plots.py
+# :353-562 — minus the total-sky-imager photo panel, which requires the
+# author's private image archive)
+# ---------------------------------------------------------------------------
+
+_BAND_SLICES = {"all": slice(0, 14), "K": slice(0, 7), "V": slice(7, 14)}
+
+
+def plot_single_sonde_bias(ds: Dataset, time_index: int, variables: list,
+                           reference: str, path: str, band: str = "all",
+                           elevation_index: int = 0, title: str = ""):
+    """Per-channel bias of each variable against `reference` for ONE launch,
+    with the +-0.5 K acceptance guide-lines and +-3 K axes
+    (final_zenith_plots.py:400-440).  `band` selects all 14 channels, the
+    K-band (channels 1-7) or the V-band (channels 8-14)."""
+    sl = _BAND_SLICES[band]
+    markers = ["X", "o", "+", "<", "s", "d"]
+
+    def tb_at(name):
+        v = np.asarray(ds[name].data, float)     # (time, chan[, elev[, crop]])
+        v = v[time_index]
+        if v.ndim == 3:                          # (chan, elev, crop) -> crop 0
+            v = v[:, :, 0]
+        if v.ndim == 2:                          # (chan, elev) -> one elevation
+            v = v[:, elevation_index]
+        return v[sl]
+
+    ref = tb_at(reference)
+    xs = np.arange(sl.start + 1, sl.stop + 1)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for y in (-0.5, 0.5):
+        ax.plot(xs, np.full(xs.size, y), color="red", ls="dashed", lw=1)
+    ax.plot(xs, np.zeros(xs.size), color="black", lw=1)
+    for j, var in enumerate(variables):
+        bias = tb_at(var) - ref
+        ax.scatter(xs, bias, label=f"Bias {var}", marker=markers[j % len(markers)])
+        ax.plot(xs, bias, lw=1)
+    ax.set_ylim(-3, 3)
+    ax.set_xticks(xs)
+    ax.set_xlabel("channel")
+    ax.set_ylabel(f"TB - {reference} [K]")
+    ax.set_title(title or f"{band}-band bias against {reference}")
+    ax.legend(loc="lower right", fontsize=8)
+    return _finish(fig, path)
+
+
+def per_sonde_report(ds: Dataset, variables: list, reference: str,
+                     outdir: str, bands=("all", "K", "V"),
+                     max_sondes: int | None = None) -> list:
+    """One bias figure per (launch with valid data) x band — the reference's
+    per-sonde loop (final_zenith_plots.py:379-562)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    ref = np.asarray(ds[reference].data, float)
+    ref2 = ref.reshape(ref.shape[0], -1)
+    valid = np.where(np.isfinite(ref2).all(axis=1))[0]
+    if max_sondes is not None:
+        valid = valid[:max_sondes]
+    times = np.asarray(ds["time"].data, np.float64)
+    paths = []
+    for i in valid:
+        stamp = _dt.datetime.fromtimestamp(
+            float(times[i]), _dt.timezone.utc).strftime("%Y%m%dT%H%M")
+        for band in bands:
+            paths.append(plot_single_sonde_bias(
+                ds, int(i), variables, reference,
+                f"{outdir}/sonde_{stamp}_{band}.png", band=band,
+                title=f"{stamp}  {band}-band bias against {reference}"))
+    return paths

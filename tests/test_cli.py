@@ -91,3 +91,25 @@ def test_cli_retrieve_and_spectral(raw, tmp_path):
     sd = netcdf.read(spec)
     assert sd["TB_spectrum"].data.shape[1] == 256
     assert np.isfinite(sd["TB_spectrum"].data).all()
+
+
+def test_cli_run_all(raw, tmp_path):
+    work = str(tmp_path / "work")
+    assert main(["run-all", "--sondes", f"{raw}/2024*_*.nc",
+                 "--campaign", "Vital", "--location", "Juelich",
+                 "--mwr", f"joyhat={raw}/l1_*.nc",
+                 "--workdir", work, "--models", "R24",
+                 "--distill", "--compat"]) == 0
+    for name in ("harmonized.nc", "results.nc", "analysis.nc",
+                 "fast_params.npz", "stats.csv", "run_all.log"):
+        assert os.path.exists(os.path.join(work, name)), name
+    ds = netcdf.read(os.path.join(work, "results.nc"))
+    assert "TBs_LBL_R24" in ds and "TBs_Fast" in ds
+    assert "TBs_PyRTlib_R24" in ds       # compat alias
+    pngs = [f for f in os.listdir(os.path.join(work, "plots"))
+            if f.endswith(".png")]
+    assert len(pngs) >= 5
+
+    # stage-level resume: reuses harmonized.nc without the sonde files
+    assert main(["run-all", "--sondes", f"{raw}/nonexistent*.nc",
+                 "--workdir", work, "--models", "R24", "--resume"]) == 0

@@ -87,3 +87,38 @@ def test_split_clear_cloudy():
     clear, cloudy = sky.split_clear_cloudy(ds)
     assert clear.dims["time"] + cloudy.dims["time"] == 6
     assert np.all(sky.mean_mwr_lwp(clear) <= sky.LWP_CLEAR_THRESHOLD)
+
+
+def test_plot_model_vs_model_by_iwv(tmp_path):
+    from mwr_fast_forward_operators_and_lbls_tpu.eval import plots
+
+    rng = np.random.default_rng(1)
+    n = 20
+    dx = rng.normal(0.0, 1.0, (n, 14, 10))
+    dy = dx + rng.normal(0.0, 0.2, dx.shape)
+    iwv = rng.uniform(5, 35, n)
+    p = plots.plot_model_vs_model_by_iwv(
+        dx, dy, iwv, str(tmp_path / "pooled.png"))
+    assert p.endswith("pooled.png")
+    p = plots.plot_model_vs_model_by_iwv(
+        dx[:, :, 0], dy[:, :, 0], iwv, str(tmp_path / "chan9.png"), channel=9)
+    assert p.endswith("chan9.png")
+
+
+def test_standard_report_includes_model_pair_scatter(tmp_path):
+    from mwr_fast_forward_operators_and_lbls_tpu.data.dataset import Dataset
+    from mwr_fast_forward_operators_and_lbls_tpu.eval import plots
+
+    rng = np.random.default_rng(2)
+    n = 12
+    ds = Dataset()
+    ds["time"] = (("time",), np.arange(n, dtype="f8"), {})
+    for name in ("Deviations_Fast_R24", "Deviations_R98_R24",
+                 "Deviations_Joyhat_R24"):
+        ds[name] = (("time", "N_Channels", "elevation"),
+                    rng.normal(0, 1, (n, 14, 10)), {})
+    ds["Joyhat_IWV"] = (("time",), rng.uniform(5, 30, n), {})
+    paths = plots.standard_report(ds, str(tmp_path / "figs"))
+    assert any("Fast_vs_R98_by_IWV" in p for p in paths)
+    # the MWR family is not paired into the model-vs-model scatter
+    assert not any("Joyhat_vs" in p or "_vs_Joyhat" in p for p in paths)

@@ -79,3 +79,19 @@ def test_plot_departures_vs_lwp(tmp_path):
         ds["Deviations_RTTOV_gb_R24"].data[:, :, 0],
         ds["Joyhat_LWP"].data, str(tmp_path / "lwp.png"))
     assert (tmp_path / "lwp.png").exists()
+
+
+def test_plot_single_sonde_bias_and_report(tmp_path):
+    ds = _ds()
+    ds["TBs_Fast"] = (("time", "N_Channels", "elevation"),
+                      ds["TBs_LBL_R24"].data + 0.3, {})
+    p = report.plot_single_sonde_bias(
+        ds, 0, ["TBs_Fast"], "TBs_LBL_R24", str(tmp_path / "s.png"), band="K")
+    assert p.endswith("s.png")
+    paths = report.per_sonde_report(
+        ds, ["TBs_Fast"], "TBs_LBL_R24", str(tmp_path / "sondes"),
+        bands=("all", "K", "V"), max_sondes=2)
+    # launch 2 is all-NaN in the reference variable -> skipped
+    assert len(paths) == 6
+    import os
+    assert all(os.path.exists(p) for p in paths)
