@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernel for the multi-elevation downwelling RTE.
+
+Physics identical to `ops.rte.downwelling_tb_lb_multi` (linear-in-tau source,
+Planck throughout — the reference's PyRTlib downwelling mode,
+/root/reference/python_src/proc/PyRTlib_processing.py:126), but engineered
+for the TPU memory system:
+
+The XLA formulation must materialize the (E, F, L, B) layer-opacity and
+cumulative-opacity tensors in HBM — ~100 MB each at production shapes — and
+re-reads them for the transmittance, emission-factor, and reduction steps,
+so the RTE is bandwidth-bound at ~6x the useful traffic.  This kernel
+instead reads alpha (F, L, B), path lengths (E, L-1, B) and temperature
+(L, B) ONCE and keeps the entire per-(elevation, channel) pipeline — layer
+opacity, cumulative-opacity prefix scan, transmittance, source integration,
+reduction — inside VMEM, writing only the (E, F, B) results.  Useful HBM
+traffic drops from ~600 MB to ~19 MB per 1024-profile batch.
+
+Design decisions that matter on the hardware:
+
+  * Grid is (batch-block, elevation) with ALL channels unrolled inside the
+    kernel body: a per-(elevation, channel) grid would mean 1120 tiny steps
+    whose fixed step overhead dominates the math.
+  * The cumulative-opacity prefix scan runs on the VPU as a doubling
+    (Hillis-Steele) scan over the sublane axis — 8 masked roll-adds for 180
+    levels — in *native fp32*.  An MXU triangular matmul is the obvious
+    alternative but Mosaic's in-kernel fp32 dot rounds through bf16 passes
+    (~5e-4 relative), which at tau ~ 100+ nepers costs ~0.1 K in TB; the
+    additive scan keeps the kernel bit-comparable to the XLA reference.
+  * The per-layer transmittance exp(-dtau) is recovered from consecutive
+    cumulative transmittances (trans_below - e_ctau), so the kernel
+    evaluates ONE exponential per (layer, elevation, channel) point
+    instead of two.
+  * The Planck source profile and layer-mean absorption depend only on the
+    channel, so they are computed once per batch block (at the first
+    elevation grid step) and carried in VMEM scratch across the sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import physics as phys
+
+LANES = 128
+
+
+def _planck(x, t):
+    """x / expm1(x / t) without expm1 (unsupported by Mosaic).
+
+    For MWR frequencies and atmospheric temperatures y = x/T <= 0.016, so a
+    4-term series of expm1(y) = y (1 + y/2 + y^2/6 + y^3/24) is exact to
+    fp32 (truncation O(y^4/120) ~ 5e-10 relative) and the Planck radiance
+    reduces to T / poly(y)."""
+    y = x / t
+    poly = 1.0 + y * (0.5 + y * (1.0 / 6.0 + y * (1.0 / 24.0)))
+    return t / poly
+
+
+def _inv_planck(x, b):
+    """x / log1p(x / b) without log1p.
+
+    u = x/b reaches ~0.15 at cold K-band TBs: use the direct log(1+u) there
+    (relative error eps/u < 4e-6 for u >= 0.02) and a 5-term alternating
+    series below (truncation u^5/6 < 6e-9 relative)."""
+    u = x / b
+    series = u * (1.0 - u * (0.5 - u * (1.0 / 3.0 - u * (0.25 - u * 0.2))))
+    logu = jnp.where(u < 0.02, series, jnp.log(1.0 + u))
+    return x / logu
+
+
+def _cumsum_sublanes(x, n_rows: int):
+    """Inclusive prefix sum along axis 0 (sublanes): doubling scan in fp32.
+
+    ceil(log2(n_rows)) masked roll-adds; exact fp32 arithmetic (summation
+    order differs from a serial cumsum by O(eps * tau * log L), negligible)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < n_rows:
+        x = x + jnp.where(row >= shift, pltpu.roll(x, shift, 0), 0.0)
+        shift *= 2
+    return x
+
+
+def _build_kernel(nf: int, l: int, small_dtau: float = 0.03):
+    lm1 = l - 1
+    # Pad the layer axis to a sublane multiple so the scan's roll operands
+    # stay tile-aligned; padded rows carry zero opacity and drop out.
+    lpad = -(-lm1 // 8) * 8
+
+    def kernel(f_ref, alpha_ref, ds_ref, t_ref,
+               tb_ref, tau_ref, tmr_ref, b_scr, amid_scr):
+        e_idx = pl.program_id(1)
+
+        @pl.when(e_idx == 0)
+        def _():
+            t = t_ref[:]
+            for fi in range(nf):
+                x = phys.HK_GHZ * f_ref[fi]
+                b_scr[fi] = _planck(x, t)
+                a = alpha_ref[fi]
+                amid_scr[fi, :lm1] = 0.5 * (a[:-1] + a[1:])
+
+        ds = ds_ref[0]                                   # (L-1, B)
+        zeros_pad = jnp.zeros((lpad - lm1, ds.shape[-1]), jnp.float32) \
+            if lpad != lm1 else None
+        for fi in range(nf):
+            x = phys.HK_GHZ * f_ref[fi]
+            b = b_scr[fi]
+            b_bot, b_top = b[:-1], b[1:]
+
+            d = amid_scr[fi, :lm1] * ds                  # layer opacities
+            if zeros_pad is not None:
+                d = jnp.concatenate([d, zeros_pad], axis=0)
+            ctau = _cumsum_sublanes(d, lm1)
+            e_ctau = jnp.exp(-ctau)                      # trans to layer top
+            trans_below = jnp.concatenate(
+                [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
+            e_ctau_v = e_ctau[:lm1]
+            d = d[:lm1]
+
+            # Linear-in-tau source integration without a second exponential:
+            #   atm = sum_l B_bot*delta + (B_top - B_bot)*g_top*trans_below
+            # with delta = trans_below - e_ctau and
+            #      g_top * trans_below = delta / d - e_ctau.
+            # Both cancel catastrophically as d -> 0; 3-term series (error
+            # O(d^4)) take over below `small_dtau` (see rte._emission_factors).
+            small = d < small_dtau
+            dd = jnp.where(small, 1.0, d)
+            delta_exact = trans_below - e_ctau_v
+            delta = jnp.where(
+                small, trans_below * d * (1.0 - d * (0.5 - d * (1.0 / 6.0))),
+                delta_exact)
+            gtop_tb = jnp.where(
+                small, trans_below * d * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
+                delta_exact / dd - e_ctau_v)
+            contrib = b_bot * delta + (b_top - b_bot) * gtop_tb
+            atm = jnp.sum(contrib, axis=0, keepdims=True)    # (1, B)
+
+            tau_total = ctau[lm1 - 1:lm1]
+            trans_total = e_ctau[lm1 - 1:lm1]
+            # y = x/T_cosmic ~ 1 is NOT small: exp(y)-1 is O(1), safe.
+            cosmic0 = x / (jnp.exp(x * (1.0 / phys.T_COSMIC)) - 1.0)
+            tb_ref[0, fi:fi + 1] = _inv_planck(x, atm + cosmic0 * trans_total)
+            tau_ref[0, fi:fi + 1] = tau_total
+            tmr_ref[0, fi:fi + 1] = _inv_planck(
+                x, atm / jnp.maximum(1.0 - trans_total, 1e-10))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("freqs",))
+def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k):
+    """Fused multi-elevation downwelling RTE in the lanes-batch layout.
+
+    Args:
+      freqs: static tuple of F channel frequencies [GHz].
+      alpha: (F, L, B) absorption [Np/km], levels ground -> top, float32.
+      ds_km: (E, L-1, B) slant path lengths [km].
+      t_k:   (L, B) level temperatures [K].
+      B must be a multiple of 128.
+
+    Returns dict with tb / tau_total / t_mr, each (E, F, B).  (The full
+    (E, F, L, B) transmittance profile intentionally has no fused path —
+    materializing it is pure HBM traffic, so callers that need it take the
+    XLA route.)
+    """
+    f_arr = jnp.asarray(freqs, jnp.float32)
+    nf, l, b = alpha.shape
+    e, lm1, _ = ds_km.shape
+    if lm1 != l - 1:
+        raise ValueError(f"ds_km layers {lm1} != levels-1 {l - 1}")
+    if b % LANES:
+        raise ValueError(f"B={b} not a multiple of {LANES}")
+    lpad = -(-lm1 // 8) * 8
+
+    grid = (b // LANES, e)
+    kernel = _build_kernel(nf, l)
+    out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((e, nf, b), jnp.float32)
+    tb, tau, tmr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nf,), lambda i, ei: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nf, l, LANES), lambda i, ei: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lm1, LANES), lambda i, ei: (ei, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 3,
+        out_shape=[out_shape] * 3,
+        scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32)],
+        interpret=(jax.default_backend() != "tpu"),
+    )(f_arr, alpha.astype(jnp.float32), ds_km.astype(jnp.float32),
+      t_k.astype(jnp.float32))
+    return {"tb": tb, "tau_total": tau, "t_mr": tmr}

@@ -85,3 +85,27 @@ def test_upwelling_opaque_matches_downwelling_limit():
     t = jnp.full((L,), t_iso)
     up = rte.upwelling_tb(alpha, ds, t, jnp.asarray([50.0]))
     np.testing.assert_allclose(np.asarray(up["tb"]), t_iso, atol=0.05)
+
+
+def test_fused_rte_kernel_matches_xla():
+    """The fused Pallas RTE (interpret mode on CPU) against the XLA
+    lanes-batch reference."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mwr_fast_forward_operators_and_lbls_tpu.ops import rte
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas.rte_kernel import (
+        downwelling_lb_fused)
+
+    rng = np.random.default_rng(0)
+    nf, l, b, e = 5, 60, 128, 3
+    alpha = jnp.asarray(np.abs(rng.normal(0.05, 0.05, (nf, l, b))).astype("f4"))
+    ds = jnp.asarray(np.abs(rng.normal(0.5, 0.1, (e, l - 1, b))).astype("f4"))
+    t = jnp.asarray((250 + 40 * rng.random((l, b))).astype("f4"))
+    freqs = tuple(np.linspace(20.0, 60.0, nf).tolist())
+    ref = rte.downwelling_tb_lb_multi(alpha, ds, t,
+                                      jnp.asarray(freqs, jnp.float32),
+                                      want_trans_level=False)
+    got = downwelling_lb_fused(freqs, alpha, ds, t)
+    for k in ("tb", "tau_total", "t_mr"):
+        assert float(jnp.max(jnp.abs(ref[k] - got[k]))) < 2e-3, k
