@@ -66,6 +66,29 @@ def _build_kernel(model: str, freqs: tuple):
     o2_w300 = np.asarray(o2.w300, np.float64)
     o2_y300 = np.asarray(o2.y300, np.float64)
     o2_v = np.asarray(o2.v, np.float64)
+
+    # Conservative per-line upper bounds on the pressure-broadened width
+    # [GHz] over any physical atmosphere (p_dry <= 1100 hPa, p_vap <= 120
+    # hPa, T >= 170 K).  A (line, channel) pair whose worst-case
+    # width^2/distance^2 ratio r is below VERY_FAR_R evaluates its
+    # Lorentzian through a 2-term geometric series with a *compile-time*
+    # reciprocal — 1/(w^2 + d^2) = (1/d^2)(1 - w^2/d^2), truncation r^2
+    # <= 2.5e-5 of that line's (already-small wing) contribution — instead
+    # of [add + fp32 divide].  This covers every O2 mirror (f + f0) term
+    # and every H2O line above 183 GHz: ~60 % of the pair terms at ~1/3
+    # the op count.  (A 4-term series for mid-range pairs was tried and
+    # measured *slower* than the hardware divide.)
+    h2o_wmax = h2o_w3 * 1100.0 * (300.0 / 170.0) ** np.maximum(h2o_x, 0) \
+        + h2o_ws * 120.0 * (300.0 / 170.0) ** np.maximum(h2o_xs, 0)
+    o2_dfmax = o2_w300 * 2.0
+    VERY_FAR_R = 5e-3
+
+    def _lorentz_term(num, var_sq, d_sq: float, very_far: bool):
+        """num / (var_sq + d_sq) with d_sq a trace-time constant."""
+        if very_far:
+            inv = 1.0 / d_sq
+            return (num * inv) * (1.0 - var_sq * inv)
+        return num / (var_sq + d_sq)
     # All shipped models use first-order mixing only (g = dnu = 0), which
     # makes the line centers scalar immediates; guard so a future table with
     # second-order terms fails loudly instead of silently dropping them.
@@ -102,20 +125,22 @@ def _build_kernel(model: str, freqs: tuple):
             wsq = width * width
             s = float(h2o_s1[li]) * ti2 * jnp.exp(float(h2o_b2[li]) * (1.0 - ti))
             sw = s * width
-            sbase = sw / (cut2 + wsq)                # s * Clough base
+            # Clough base: cut^2 >> w^2, so the series is exact to ~1e-10.
+            inv_cut2 = 1.0 / cut2
+            sbase = (sw * inv_cut2) * (1.0 - wsq * inv_cut2)
             inv_fl2 = 1.0 / (fl * fl)
+            wmax_sq = float(h2o_wmax[li]) ** 2
             for ci, fch in enumerate(freqs_np):
                 d1sq = (fch - fl) ** 2
                 d2sq = (fch + fl) ** 2
-                if m1[ci] and m2[ci]:
-                    den1 = wsq + d1sq
-                    den2 = wsq + d2sq
-                    sres = sw * (den1 + den2) / (den1 * den2) - 2.0 * sbase
-                elif m1[ci]:
-                    sres = sw / (wsq + d1sq) - sbase
-                elif m2[ci]:
-                    sres = sw / (wsq + d2sq) - sbase
-                else:
+                sres = 0.0
+                if m1[ci]:
+                    sres = _lorentz_term(sw, wsq, d1sq,
+                                         wmax_sq < VERY_FAR_R * d1sq) - sbase
+                if m2[ci]:
+                    sres = sres + _lorentz_term(
+                        sw, wsq, d2sq, wmax_sq < VERY_FAR_R * d2sq) - sbase
+                if not (m1[ci] or m2[ci]):
                     continue
                 contrib = inv_fl2 * sres
                 acc_h2o[ci] = contrib if acc_h2o[ci] is None \
@@ -141,15 +166,22 @@ def _build_kernel(model: str, freqs: tuple):
             yy = pb * (float(o2_y300[li]) + float(o2_v[li]) * th1)
             strength = float(o2_s300[li]) * jnp.exp(-float(o2_be[li]) * th1)
             inv_f02 = 1.0 / (f0 * f0)
+            dfmax_sq = float(o2_dfmax[li]) ** 2
             for ci, fch in enumerate(freqs_np):
-                d1 = fch - f0
-                d2 = fch + f0
-                # sf1 + sf2 over a common denominator: one divide per pair
-                den1 = dfsq + d1 * d1
-                den2 = dfsq + d2 * d2
-                num1 = df + d1 * yy
-                num2 = df - d2 * yy
-                pair = (num1 * den2 + num2 * den1) / (den1 * den2)
+                d1sq = (fch - f0) ** 2
+                d2sq = (fch + f0) ** 2
+                num1 = df + (fch - f0) * yy
+                num2 = df - (fch + f0) * yy
+                vf1 = dfmax_sq < VERY_FAR_R * d1sq
+                vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always very far
+                if not vf1 and not vf2:
+                    # both near: one divide over the common denominator
+                    den1 = dfsq + d1sq
+                    den2 = dfsq + d2sq
+                    pair = (num1 * den2 + num2 * den1) / (den1 * den2)
+                else:
+                    pair = _lorentz_term(num1, dfsq, d1sq, vf1) \
+                        + _lorentz_term(num2, dfsq, d2sq, vf2)
                 contrib = inv_f02 * (strength * pair)
                 acc_o2[ci] = contrib if acc_o2[ci] is None \
                     else acc_o2[ci] + contrib

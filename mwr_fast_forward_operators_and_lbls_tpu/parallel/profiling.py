@@ -61,15 +61,19 @@ def device_time(fn, args, iters: int = 20, trials: int = 3) -> float:
         return float(acc)
 
     chain(1), chain(iters)  # compile + warm
-    best = float("inf")
+    # Minimize the two measurements SEPARATELY before subtracting: the
+    # tunnel adds one-sided latency noise, and min(t_many - t_one) pairs a
+    # lucky long run with an unlucky short run, which can undershoot the
+    # true device time by 2x.  min(t_many) - min(t_one) subtracts the two
+    # cleanest runs instead.
+    best_one = best_many = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter(); chain(1)
-        t_one = time.perf_counter() - t0
+        best_one = min(best_one, time.perf_counter() - t0)
         t0 = time.perf_counter(); chain(iters)
-        t_many = time.perf_counter() - t0
-        best = min(best, (t_many - t_one) / (iters - 1))
+        best_many = min(best_many, time.perf_counter() - t0)
     # The subtraction can go negative on sub-noise workloads; floor it.
-    return max(best, 1e-9)
+    return max((best_many - best_one) / (iters - 1), 1e-9)
 
 
 @dataclass(frozen=True)
