@@ -126,3 +126,24 @@ def test_pallas_lanes_path_pads_odd_batch(small_cfg):
     assert got["tb"].shape == (3, 3, 14)
     np.testing.assert_allclose(np.asarray(got["tb"]), np.asarray(ref["tb"]),
                                rtol=0, atol=2e-2)
+
+
+def test_fp32_pipeline_within_baseline_tolerance(demo_batch):
+    """BASELINE.md target: < 0.05 K TB agreement vs the reference LBL.
+
+    pyrtlib cannot be installed in this environment, so the controlled
+    proxy is the same spectroscopy + RTE evaluated in float64: the fp32
+    Pallas fast path must stay within half the 0.05 K budget of the
+    float64 truth, leaving the other half for genuine model differences.
+    """
+    import jax
+
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+    cfg32 = lbl.LBLConfig(model="R24", use_pallas=True, outputs=("tb",))
+    tb32 = np.asarray(lbl.forward_batch(demo_batch, cfg32)["tb"])
+    with jax.enable_x64(True):
+        cfg64 = lbl.LBLConfig(model="R24", dtype="float64", outputs=("tb",))
+        tb64 = np.asarray(lbl.forward_batch(demo_batch, cfg64)["tb"])
+    err = np.abs(tb32 - tb64.astype(np.float64)).max()
+    assert err < 0.025, f"fp32 pipeline drifts {err:.4f} K from float64"
