@@ -252,11 +252,22 @@ def plot_model_vs_model_by_iwv(dev_x: np.ndarray, dev_y: np.ndarray,
 
 
 def plot_departures_vs_iwv(dev: np.ndarray, iwv: np.ndarray, path: str,
-                           ylabel: str = "TB departure [K]", title: str = ""):
+                           ylabel: str = "TB departure [K]", title: str = "",
+                           channel: int | None = None,
+                           elevation_index: int | None = None):
     """Deviations vs IWV scatter (plot_departures_vs_iwv /
-    x_devs_by_IWV.py:140-501)."""
-    d = np.asarray(dev).reshape(np.asarray(dev).shape[0], -1)
-    iw = np.asarray(iwv)
+    x_devs_by_IWV.py:140-501).
+
+    `dev` is (time, chan) or (time, chan, elev).  The reference produces the
+    pooled plot plus per-channel and per-elevation stratifications; select
+    them with `channel` and/or `elevation_index` (None pools the axis)."""
+    d = np.asarray(dev, float)
+    iw = np.asarray(iwv, float)
+    if d.ndim == 3 and elevation_index is not None:
+        d = d[:, :, elevation_index]
+    if channel is not None:
+        d = d[:, channel:channel + 1]
+    d = d.reshape(d.shape[0], -1)
     fig, ax = plt.subplots(figsize=(6, 4))
     for col in range(min(d.shape[1], 64)):
         ax.scatter(iw, d[:, col], s=4, alpha=0.3, color="tab:blue")
