@@ -109,7 +109,7 @@ def cmd_distill(args) -> int:
 
 def cmd_evaluate(args) -> int:
     from ..data import netcdf
-    from ..eval import plots
+    from ..eval import plots, report, sky
     from ..pipeline import merge
 
     ds = netcdf.read(args.input)
@@ -117,7 +117,39 @@ def cmd_evaluate(args) -> int:
     if args.output:
         netcdf.write(args.output, ds)
         print(f"wrote analysis dataset {args.output}")
+    if args.start or args.end:
+        # Seasonal re-analysis windows (May-dry / June-July-humid loops,
+        # multi_campaign_plots_and_ana.py:1212-1348).
+        import numpy as np
+        t = np.asarray(ds["time"].data, np.float64)
+        lo = args.start or "1970-01-01"
+        hi = args.end or "2200-01-01"
+        ds = report.select_time_window(ds, np.datetime64(lo),
+                                       np.datetime64(hi))
+        print(f"time window {lo}..{hi}: {ds.dims['time']} launches")
+    if args.sky != "all":
+        # Clear/cloudy stratification (clear_sky_dataset,
+        # multi_campaign_plots_and_ana.py:103-151).
+        clear, cloudy = sky.split_clear_cloudy(ds)
+        ds = clear if args.sky == "clear" else cloudy
+        print(f"{args.sky}-sky subset: {ds.dims['time']} launches")
     paths = plots.standard_report(ds, args.outdir)
+    if args.per_sonde:
+        ref = "TBs_LBL_R24" if "TBs_LBL_R24" in ds else None
+        # model-output layout only (time, N_Channels, ...) — MWR observation
+        # TBs are (time, elevation, azimuth, N_Channels) and don't belong in
+        # the per-channel bias panel.
+        model_tbs = [n for n in ds
+                     if n.startswith("TBs_") and n != ref
+                     and ds[n].dims[:2] == ("time", "N_Channels")][:4]
+        if ref and model_tbs:
+            paths += report.per_sonde_report(
+                ds, model_tbs, ref, f"{args.outdir}/per_sonde",
+                max_sondes=args.per_sonde)
+    if args.stats_csv:
+        rows = report.stats_table(ds)
+        report.write_stats_csv(rows, args.stats_csv)
+        print(f"wrote stats CSV {args.stats_csv}")
     print(f"wrote {len(paths)} figures to {args.outdir}")
     return 0
 
@@ -374,6 +406,16 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--outdir", default="plots")
     se.add_argument("--compat", dest="compat_aliases", action="store_true",
                     default=None)
+    se.add_argument("--sky", choices=("all", "clear", "cloudy"),
+                    default="all", help="clear/cloudy stratification")
+    se.add_argument("--start", default=None,
+                    help="analysis window start (YYYY-MM-DD)")
+    se.add_argument("--end", default=None,
+                    help="analysis window end (YYYY-MM-DD)")
+    se.add_argument("--per-sonde", dest="per_sonde", type=int, default=0,
+                    help="also write per-sonde bias figures for N launches")
+    se.add_argument("--stats-csv", dest="stats_csv", default=None,
+                    help="write the per-channel stats table as CSV")
     se.set_defaults(fn=cmd_evaluate)
 
     sr = sub.add_parser("retrieve",

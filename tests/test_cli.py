@@ -113,3 +113,21 @@ def test_cli_run_all(raw, tmp_path):
     # stage-level resume: reuses harmonized.nc without the sonde files
     assert main(["run-all", "--sondes", f"{raw}/nonexistent*.nc",
                  "--workdir", work, "--models", "R24", "--resume"]) == 0
+
+
+def test_cli_evaluate_stratified(raw, tmp_path):
+    harm = str(tmp_path / "h.nc")
+    results = str(tmp_path / "r.nc")
+    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
+                 "--campaign", "Vital", "--location", "Juelich",
+                 "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
+    assert main(["forward", "-i", harm, "-o", results,
+                 "--models", "R24,R98"]) == 0
+    outdir = str(tmp_path / "figs")
+    csv_path = str(tmp_path / "stats.csv")
+    assert main(["evaluate", "-i", results, "--outdir", outdir,
+                 "--sky", "all", "--start", "2024-08-01",
+                 "--end", "2024-09-01", "--per-sonde", "1",
+                 "--stats-csv", csv_path]) == 0
+    assert os.path.exists(csv_path)
+    assert os.path.isdir(os.path.join(outdir, "per_sonde"))
