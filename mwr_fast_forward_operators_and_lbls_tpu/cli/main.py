@@ -178,20 +178,24 @@ def cmd_retrieve(args) -> int:
     n = tb.shape[0]
     t_out = np.full((n, raw["z"].shape[1]), np.nan, "f4")
     rho_out = np.full_like(t_out, np.nan)
-    for i in range(n):
-        obs = np.transpose(tb[i])          # (elev, chan)
-        if not np.isfinite(obs).all() or not all(
-                np.isfinite(np.asarray(raw[k][i])).all()
-                for k in ("z", "p", "t", "rho")):
-            continue
+    # One vmapped device program over all valid launches — per-profile
+    # Python loops pay a network round trip per launch on tunneled devices.
+    obs = np.transpose(tb, (0, 2, 1))      # (time, elev, chan)
+    valid = np.isfinite(obs).all(axis=(1, 2))
+    for k in ("z", "p", "t", "rho"):
+        valid &= np.isfinite(np.asarray(raw[k], np.float64)).all(axis=1)
+    idx = np.where(valid)[0]
+    if idx.size:
         lwc = raw.get("lwc")
-        out = retrieval.retrieve(
-            params, jnp.asarray(obs, jnp.float32), jnp.asarray(raw["z"][i]),
-            jnp.asarray(raw["p"][i]), jnp.asarray(raw["t"][i]),
-            jnp.asarray(raw["rho"][i]), ocfg,
-            None if lwc is None else jnp.asarray(lwc[i]))
-        t_out[i] = np.asarray(out["t"])
-        rho_out[i] = np.asarray(out["rho"])
+        out = retrieval.retrieve_batch(
+            params, jnp.asarray(obs[idx], jnp.float32),
+            jnp.asarray(np.asarray(raw["z"])[idx]),
+            jnp.asarray(np.asarray(raw["p"])[idx]),
+            jnp.asarray(np.asarray(raw["t"])[idx]),
+            jnp.asarray(np.asarray(raw["rho"])[idx]), ocfg,
+            None if lwc is None else jnp.asarray(np.asarray(lwc)[idx]))
+        t_out[idx] = np.asarray(out["t"])
+        rho_out[idx] = np.asarray(out["rho"])
     ds["Retrieved_T"] = Variable(("time", "N_Levels"), t_out,
                                  {"units": "K", "long_name":
                                   "1D-Var retrieved temperature"})
