@@ -203,9 +203,15 @@ def _fast_forward_batch_lanes(params, z, p, t, rho, lwc,
     ds_km = jnp.stack([
         geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
         for el in config.elevations_deg])              # (E, L-1, Bp)
-    stacked = rte.downwelling_tb_lb_from_alpha_mid(
-        alpha_mid, ds_km, tt, f,
-        want_trans_level=("trans_level" in config.outputs))
+    if "trans_level" in config.outputs:
+        stacked = rte.downwelling_tb_lb_from_alpha_mid(
+            alpha_mid, ds_km, tt, f, want_trans_level=True)
+    else:
+        # Serving path: the fused Pallas RTE keeps all (E, F, L, B)
+        # intermediates in VMEM (see ops/pallas/rte_kernel.py).
+        from ..ops.pallas.rte_kernel import downwelling_lb_fused
+        stacked = downwelling_lb_fused(config.freqs_ghz, alpha_mid, ds_km,
+                                       tt, alpha_is_mid=True)
     stacked = {k: v for k, v in stacked.items() if k in config.outputs}
 
     def restore(k, v):

@@ -87,7 +87,8 @@ def _cumsum_sublanes(x, n_rows: int):
     return x
 
 
-def _build_kernel(nf: int, l: int, small_dtau: float = 0.03):
+def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
+                  small_dtau: float = 0.03):
     lm1 = l - 1
     # Pad the layer axis to a sublane multiple so the scan's roll operands
     # stay tile-aligned; padded rows carry zero opacity and drop out.
@@ -104,7 +105,10 @@ def _build_kernel(nf: int, l: int, small_dtau: float = 0.03):
                 x = phys.HK_GHZ * f_ref[fi]
                 b_scr[fi] = _planck(x, t)
                 a = alpha_ref[fi]
-                amid_scr[fi, :lm1] = 0.5 * (a[:-1] + a[1:])
+                # Level absorption averages to layers; predictor-regression
+                # operators supply layer-mean extinction directly.
+                amid_scr[fi, :lm1] = a if alpha_is_mid \
+                    else 0.5 * (a[:-1] + a[1:])
 
         ds = ds_ref[0]                                   # (L-1, B)
         zeros_pad = jnp.zeros((lpad - lm1, ds.shape[-1]), jnp.float32) \
@@ -154,13 +158,16 @@ def _build_kernel(nf: int, l: int, small_dtau: float = 0.03):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("freqs",))
-def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k):
+@functools.partial(jax.jit, static_argnames=("freqs", "alpha_is_mid"))
+def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
+                         alpha_is_mid: bool = False):
     """Fused multi-elevation downwelling RTE in the lanes-batch layout.
 
     Args:
       freqs: static tuple of F channel frequencies [GHz].
-      alpha: (F, L, B) absorption [Np/km], levels ground -> top, float32.
+      alpha: (F, L, B) level absorption [Np/km], ground -> top, float32 —
+        or (F, L-1, B) layer-mean extinction with `alpha_is_mid=True` (the
+        fast predictor-regression operator's native output).
       ds_km: (E, L-1, B) slant path lengths [km].
       t_k:   (L, B) level temperatures [K].
       B must be a multiple of 128.
@@ -171,7 +178,8 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k):
     XLA route.)
     """
     f_arr = jnp.asarray(freqs, jnp.float32)
-    nf, l, b = alpha.shape
+    nf, l_in, b = alpha.shape
+    l = l_in + 1 if alpha_is_mid else l_in
     e, lm1, _ = ds_km.shape
     if lm1 != l - 1:
         raise ValueError(f"ds_km layers {lm1} != levels-1 {l - 1}")
@@ -180,7 +188,7 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k):
     lpad = -(-lm1 // 8) * 8
 
     grid = (b // LANES, e)
-    kernel = _build_kernel(nf, l)
+    kernel = _build_kernel(nf, l, alpha_is_mid)
     out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((e, nf, b), jnp.float32)
@@ -190,7 +198,7 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k):
         in_specs=[
             pl.BlockSpec((nf,), lambda i, ei: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((nf, l, LANES), lambda i, ei: (0, 0, i),
+            pl.BlockSpec((nf, l_in, LANES), lambda i, ei: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lm1, LANES), lambda i, ei: (ei, 0, i),
                          memory_space=pltpu.VMEM),

@@ -107,3 +107,21 @@ def test_lanes_serving_path_matches_batch():
     np.testing.assert_allclose(np.asarray(got["trans_level"]),
                                np.asarray(ref["trans_level"]),
                                rtol=0, atol=5e-3)
+
+
+def test_fast_lanes_fused_rte_matches_vmap_path():
+    """The serving path (fused Pallas RTE on layer-mean extinction) against
+    the per-profile vmap path."""
+    import numpy as np
+
+    from mwr_fast_forward_operators_and_lbls_tpu.models import fast, lbl
+
+    train = lbl.demo_batch(16, n_levels=60)
+    params, _ = fast.distill(train, fast.FastConfig(), steps=0)
+    prof = lbl.demo_batch(8, n_levels=60, seed=3)
+    lanes = fast.fast_forward_batch(
+        params, prof, fast.FastConfig(use_lanes=True, outputs=("tb",)))
+    ref = fast.fast_forward_batch(
+        params, prof, fast.FastConfig(use_lanes=False, outputs=("tb",)))
+    err = float(np.max(np.abs(np.asarray(lanes["tb"]) - np.asarray(ref["tb"]))))
+    assert err < 2e-3, err
