@@ -162,17 +162,21 @@ def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig):
                                 config.model)              # (F, L, Bp)
     e_hpa = thermo.rho_to_e(rt, tt)
 
-    ds_km = jnp.stack([
-        geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
-        for el in config.elevations_deg])                  # (E, L-1, Bp)
     if "trans_level" in config.outputs:
         # The (E, F, L, B) transmittance profile has to be materialized
         # anyway, so the fused RTE buys nothing — take the XLA route.
+        ds_km = jnp.stack([
+            geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
+            for el in config.elevations_deg])              # (E, L-1, Bp)
         stacked = rte.downwelling_tb_lb_multi(alpha, ds_km, tt, f,
                                               want_trans_level=True)
     else:
-        from ..ops.pallas.rte_kernel import downwelling_lb_fused
-        stacked = downwelling_lb_fused(config.freqs_ghz, alpha, ds_km, tt)
+        # Geometry + RTE in one kernel; only the refractive index (one
+        # elevation-independent elementwise pass) is computed in XLA.
+        from ..ops.pallas.rte_kernel import forward_lb_fused
+        n = geometry.refractive_index(pt, tt, e_hpa)
+        stacked = forward_lb_fused(config.freqs_ghz, config.elevations_deg,
+                                   alpha, zt, n, tt)
     stacked = {k: v for k, v in stacked.items() if k in config.outputs}
     # Back to the public (B, E, F[, L]) layout; these transposes restore the
     # batch-major convention and are the only relayouts in the whole path —

@@ -161,6 +161,153 @@ def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
     return kernel
 
 
+def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
+                      small_dtau: float = 0.03):
+    """Kernel variant with the refraction-bent slant-path geometry fused in.
+
+    The XLA geometry pass (ops/geometry.slant_path_lengths_lb stacked over
+    elevations) costs ~0.2 ms at production shapes — mostly HBM round trips
+    for the (E, L-1, B) path-length tensor and its intermediates.  Here the
+    elevation-independent pieces (refractive layer index, dz * (r_top +
+    r_bot)) are computed once into scratch and each elevation grid step
+    derives its Snell chord lengths in VMEM: two sqrts and a divide per
+    layer point, amortized over the 14-channel body.
+    """
+    lm1 = l - 1
+    lpad = -(-lm1 // 8) * 8
+
+    def kernel(f_ref, cos_ref, alpha_ref, z_ref, n_ref, t_ref,
+               tb_ref, tau_ref, tmr_ref,
+               b_scr, amid_scr, r_scr, nlay_scr, dzr_scr):
+        e_idx = pl.program_id(1)
+
+        @pl.when(e_idx == 0)
+        def _():
+            t = t_ref[:]
+            z = z_ref[:]
+            n = n_ref[:]
+            r = phys.EARTH_RADIUS + z
+            r_scr[:] = r
+            nlay_scr[:lm1] = 0.5 * (n[:-1] + n[1:])
+            # dz * (r_top + r_bot), with the m -> km conversion folded in.
+            dzr_scr[:lm1] = (z[1:] - z[:-1]) * ((r[1:] + r[:-1]) * 1e-3)
+            for fi in range(nf):
+                x = phys.HK_GHZ * f_ref[fi]
+                b_scr[fi] = _planck(x, t)
+                a = alpha_ref[fi]
+                amid_scr[fi, :lm1] = a if alpha_is_mid \
+                    else 0.5 * (a[:-1] + a[1:])
+
+        # Snell-invariant chord lengths for this elevation
+        # (ops/geometry.slant_path_lengths_lb, cancellation-safe form).
+        r = r_scr[:]
+        k = (n_ref[0:1] * r[0:1]) * cos_ref[e_idx]       # (1, B) invariant
+        rk = k / nlay_scr[:lm1]
+        r_bot, r_top = r[:-1], r[1:]
+        seg_top = jnp.sqrt(jnp.maximum((r_top - rk) * (r_top + rk), 0.0))
+        seg_bot = jnp.sqrt(jnp.maximum((r_bot - rk) * (r_bot + rk), 0.0))
+        # dzr carries the m -> km factor, so ds = dzr / segsum is in km.
+        ds = dzr_scr[:lm1] / jnp.maximum(seg_top + seg_bot, 1.0)
+
+        for fi in range(nf):
+            x = phys.HK_GHZ * f_ref[fi]
+            b = b_scr[fi]
+            b_bot, b_top = b[:-1], b[1:]
+            d = amid_scr[fi, :lm1] * ds
+            if lpad != lm1:
+                d = jnp.concatenate(
+                    [d, jnp.zeros((lpad - lm1, d.shape[-1]), jnp.float32)],
+                    axis=0)
+            ctau = _cumsum_sublanes(d, lm1)
+            e_ctau = jnp.exp(-ctau)
+            trans_below = jnp.concatenate(
+                [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
+            e_ctau_v = e_ctau[:lm1]
+            d = d[:lm1]
+            small = d < small_dtau
+            dd = jnp.where(small, 1.0, d)
+            delta_exact = trans_below - e_ctau_v
+            delta = jnp.where(
+                small, trans_below * d * (1.0 - d * (0.5 - d * (1.0 / 6.0))),
+                delta_exact)
+            gtop_tb = jnp.where(
+                small, trans_below * d * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
+                delta_exact / dd - e_ctau_v)
+            contrib = b_bot * delta + (b_top - b_bot) * gtop_tb
+            atm = jnp.sum(contrib, axis=0, keepdims=True)
+
+            tau_total = ctau[lm1 - 1:lm1]
+            trans_total = e_ctau[lm1 - 1:lm1]
+            cosmic0 = x / (jnp.exp(x * (1.0 / phys.T_COSMIC)) - 1.0)
+            tb_ref[0, fi:fi + 1] = _inv_planck(
+                x, atm + cosmic0 * trans_total)
+            tau_ref[0, fi:fi + 1] = tau_total
+            tmr_ref[0, fi:fi + 1] = _inv_planck(
+                x, atm / jnp.maximum(1.0 - trans_total, 1e-10))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("freqs", "elevations",
+                                             "alpha_is_mid"))
+def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
+                     t_k, alpha_is_mid: bool = False):
+    """Geometry + multi-elevation downwelling RTE in ONE fused kernel.
+
+    Args:
+      freqs: static tuple of F channel frequencies [GHz].
+      elevations: static tuple of E elevation angles [deg].
+      alpha: (F, L, B) level absorption — or (F, L-1, B) layer-mean
+        extinction with `alpha_is_mid=True`.
+      z_m:    (L, B) level heights above MSL [m].
+      n_refr: (L, B) refractive index (ops/geometry.refractive_index).
+      t_k:    (L, B) level temperatures [K].
+      B must be a multiple of 128.
+
+    Returns dict with tb / tau_total / t_mr, each (E, F, B).
+    """
+    f_arr = jnp.asarray(freqs, jnp.float32)
+    cos_arr = jnp.cos(jnp.deg2rad(jnp.asarray(elevations, jnp.float32)))
+    nf, l_in, b = alpha.shape
+    l = l_in + 1 if alpha_is_mid else l_in
+    e = len(elevations)
+    lm1 = l - 1
+    if b % LANES:
+        raise ValueError(f"B={b} not a multiple of {LANES}")
+    lpad = -(-lm1 // 8) * 8
+
+    grid = (b // LANES, e)
+    kernel = _build_geo_kernel(nf, l, alpha_is_mid)
+    lvl_spec = pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((e, nf, b), jnp.float32)
+    tb, tau, tmr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nf,), lambda i, ei: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((e,), lambda i, ei: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nf, l_in, LANES), lambda i, ei: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            lvl_spec, lvl_spec, lvl_spec,
+        ],
+        out_specs=[out_spec] * 3,
+        out_shape=[out_shape] * 3,
+        scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32),
+                        pltpu.VMEM((l, LANES), jnp.float32),
+                        pltpu.VMEM((lpad, LANES), jnp.float32),
+                        pltpu.VMEM((lpad, LANES), jnp.float32)],
+        interpret=(jax.default_backend() != "tpu"),
+    )(f_arr, cos_arr, alpha.astype(jnp.float32), z_m.astype(jnp.float32),
+      n_refr.astype(jnp.float32), t_k.astype(jnp.float32))
+    return {"tb": tb, "tau_total": tau, "t_mr": tmr}
+
+
 @functools.partial(jax.jit, static_argnames=("freqs", "alpha_is_mid"))
 def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
                          alpha_is_mid: bool = False):
