@@ -103,12 +103,10 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
     lwc = jnp.zeros_like(rho) if (lwc is None or not config.include_liquid) \
         else lwc.astype(dtype)
 
-    # The fused kernel evaluates VVW shapes only; the qSD line shape of the
-    # *SD variants (and the optional O3 term) route through the XLA path —
-    # the reference, too, runs those only in offline sweeps.
-    from ..constants.h2o_lines import H2O_MODELS
-    if (config.use_pallas and not H2O_MODELS[config.model].has_sd
-            and not config.include_o3):
+    # All nine absorption models (VVW and qSD line shapes, first- and
+    # second-order O2 mixing) run the fused path; only the optional O3 term
+    # routes through the XLA path.
+    if config.use_pallas and not config.include_o3:
         return _forward_batch_lanes(z, p, t, rho, lwc, f, config)
 
     o3 = None

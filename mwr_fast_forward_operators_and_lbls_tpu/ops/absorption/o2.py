@@ -2,8 +2,10 @@
 
 Native JAX implementation of the `o2abs` physics consumed by the reference
 via PyRTlib (/root/reference/python_src/proc/PyRTlib_processing.py:121-151):
-40 O2 lines with first-order (optionally second-order) Rosenkranz line
-mixing plus the nonresonant Debye term.
+per-release line tables with first-order (R98/R03/R16/R17) or second-order
+(R19/R20/R24 — Makarov et al. 2011/2020) Rosenkranz line mixing plus the
+nonresonant Debye term.  Temperature laws follow each release's published
+convention (see constants/o2_lines.py).
 """
 
 import jax.numpy as jnp
@@ -35,10 +37,8 @@ def o2_absorption(f_ghz, p_hpa, t_k, rho_gm3, model: O2Model = O2_MODELS["R98"])
     s300 = jnp.asarray(model.s300, dtype)
     be = jnp.asarray(model.be, dtype)
     w300 = jnp.asarray(model.w300, dtype)
-    y300 = jnp.asarray(model.y300, dtype)
-    v = jnp.asarray(model.v, dtype)
-    g2 = jnp.asarray(model.g, dtype)
-    dnu = jnp.asarray(model.dnu, dtype)
+    y0 = jnp.asarray(model.y0, dtype)
+    y1 = jnp.asarray(model.y1, dtype)
 
     th = 300.0 / t
     th1 = th - 1.0
@@ -46,29 +46,40 @@ def o2_absorption(f_ghz, p_hpa, t_k, rho_gm3, model: O2Model = O2_MODELS["R98"])
     preswv = rho * t / 217.0
     presda = p - preswv
     den = 0.001 * (presda * b + model.h2o_factor * preswv * th)
-    pe2 = den * den  # second-order pressure terms use the same effective density
+    pe2 = den * den
 
     # Nonresonant Debye (pressure-induced) term.
     dfnr = model.wb300 * den
     f_ = f[..., 0]
     nonres = (
-        1.6e-17 * f_ * f_ * dfnr[..., 0]
+        model.nonres_coeff * f_ * f_ * dfnr[..., 0]
         / (th[..., 0] * (f_ * f_ + dfnr[..., 0] * dfnr[..., 0]))
     )
 
-    # Resonant lines with mixing: first order y, optional second order (g, dnu).
+    # Resonant lines: first-order mixing Y (basis per release), optional
+    # second-order intensity coupling G and band shift delta-nu.
     df = w300 * den
-    y = 0.001 * p * b * (y300 + v * th1)
+    ybase = 0.001 * p * b if model.mixing_basis == "p" else den
+    y = ybase * (y0 + y1 * th1)
     strength = s300 * jnp.exp(-be * th1)
-    fc = f0 + dnu * pe2  # pressure-shifted line center (0 unless model sets dnu)
-    gfac = 1.0 + g2 * pe2
 
-    d1 = f - fc
-    d2 = f + fc
+    if model.has_second_order:
+        g0 = jnp.asarray(model.g0, dtype)
+        g1 = jnp.asarray(model.g1, dtype)
+        dnu0 = jnp.asarray(model.dnu0, dtype)
+        dnu1 = jnp.asarray(model.dnu1, dtype)
+        gfac = 1.0 + pe2 * (g0 + g1 * th1)
+        dnu = pe2 * (dnu0 + dnu1 * th1)
+    else:
+        gfac = 1.0
+        dnu = 0.0
+
+    d1 = f - f0 - dnu
+    d2 = f + f0 + dnu
     sf1 = (df * gfac + d1 * y) / (d1 * d1 + df * df)
     sf2 = (df * gfac - d2 * y) / (d2 * d2 + df * df)
     line_sum = jnp.sum(strength * (sf1 + sf2) * (f / f0) ** 2, axis=-1)
 
     total = nonres + line_sum
-    alpha = 0.5034e12 * total * presda[..., 0] * th[..., 0] ** 3 / jnp.pi
+    alpha = model.scale * total * presda[..., 0] * th[..., 0] ** 3
     return jnp.maximum(alpha, 0.0)

@@ -34,6 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants.h2o_lines import H2O_MODELS
 from ...constants.o2_lines import O2_MODELS
+from ..absorption.h2o import _GL_W as _GL_W_J
+from ..absorption.h2o import _GL_X as _GL_X_J
+
+# Gauss-Laguerre nodes/weights for the qSD line shape, as trace-time floats.
+_GL_X = np.asarray(_GL_X_J, np.float64)
+_GL_W = np.asarray(_GL_W_J, np.float64)
 
 LANES = 128         # native lane count
 BLOCK_ROWS = 8      # sublane rows per grid step (8 = one fp32 vreg per value)
@@ -59,13 +65,20 @@ def _build_kernel(model: str, freqs: tuple):
     h2o_x = np.asarray(h2o.x, np.float64)
     h2o_ws = np.asarray(h2o.ws, np.float64)
     h2o_xs = np.asarray(h2o.xs, np.float64)
+    h2o_w2 = np.asarray(h2o.w2, np.float64)
+    h2o_ws2 = np.asarray(h2o.ws2, np.float64)
 
     o2_f = np.asarray(o2.f, np.float64)
     o2_s300 = np.asarray(o2.s300, np.float64)
     o2_be = np.asarray(o2.be, np.float64)
     o2_w300 = np.asarray(o2.w300, np.float64)
-    o2_y300 = np.asarray(o2.y300, np.float64)
-    o2_v = np.asarray(o2.v, np.float64)
+    o2_y0 = np.asarray(o2.y0, np.float64)
+    o2_y1 = np.asarray(o2.y1, np.float64)
+    o2_g0 = np.asarray(o2.g0, np.float64)
+    o2_g1 = np.asarray(o2.g1, np.float64)
+    o2_dnu0 = np.asarray(o2.dnu0, np.float64)
+    o2_dnu1 = np.asarray(o2.dnu1, np.float64)
+    o2_second = o2.has_second_order
 
     # Conservative per-line upper bounds on the pressure-broadened width
     # [GHz] over any physical atmosphere (p_dry <= 1100 hPa, p_vap <= 120
@@ -89,11 +102,6 @@ def _build_kernel(model: str, freqs: tuple):
             inv = 1.0 / d_sq
             return (num * inv) * (1.0 - var_sq * inv)
         return num / (var_sq + d_sq)
-    # All shipped models use first-order mixing only (g = dnu = 0), which
-    # makes the line centers scalar immediates; guard so a future table with
-    # second-order terms fails loudly instead of silently dropping them.
-    assert not np.any(np.asarray(o2.g)) and not np.any(np.asarray(o2.dnu)), \
-        "second-order O2 mixing not supported by the fused kernel"
 
     def kernel(p_ref, t_ref, rho_ref, lwc_ref, out_ref):
         p = p_ref[:]
@@ -130,13 +138,40 @@ def _build_kernel(model: str, freqs: tuple):
             sbase = (sw * inv_cut2) * (1.0 - wsq * inv_cut2)
             inv_fl2 = 1.0 / (fl * fl)
             wmax_sq = float(h2o_wmax[li]) ** 2
+            # Speed-dependent lines (R19SD/R20SD, 22/183 GHz): the
+            # near-resonant term is the Maxwell-Boltzmann speed average of
+            # Lorentzians, evaluated by the same 16-node generalized
+            # Gauss-Laguerre rule as the XLA path (ops/absorption/h2o.py).
+            # The per-node widths cr_i and cr_i^2 depend only on the line,
+            # so they are hoisted out of the channel loop; each channel
+            # then costs 16 [add + divide + fma] — and the detuning^2 is a
+            # trace-time scalar.  Mirror terms and the cutoff base stay
+            # Lorentzian (gamma2 is negligible hundreds of GHz off line).
+            sd_nodes = None
+            if float(h2o_w2[li]) != 0.0 or float(h2o_ws2[li]) != 0.0:
+                gamma2 = (float(h2o_w2[li]) * pda
+                          * jnp.exp(float(h2o_x[li]) * log_ti)
+                          + float(h2o_ws2[li]) * pvap
+                          * jnp.exp(float(h2o_xs[li]) * log_ti))
+                c0 = width - 1.5 * gamma2
+                sd_nodes = []
+                for xi, wi in zip(_GL_X, _GL_W):
+                    cr = c0 + gamma2 * float(xi)
+                    sd_nodes.append((float(wi), cr, cr * cr))
             for ci, fch in enumerate(freqs_np):
                 d1sq = (fch - fl) ** 2
                 d2sq = (fch + fl) ** 2
                 sres = 0.0
                 if m1[ci]:
-                    sres = _lorentz_term(sw, wsq, d1sq,
-                                         wmax_sq < VERY_FAR_R * d1sq) - sbase
+                    if sd_nodes is not None:
+                        qsum = None
+                        for wi, cr, cr2 in sd_nodes:
+                            term = (wi * cr) / (cr2 + d1sq)
+                            qsum = term if qsum is None else qsum + term
+                        sres = s * qsum - sbase
+                    else:
+                        sres = _lorentz_term(sw, wsq, d1sq,
+                                             wmax_sq < VERY_FAR_R * d1sq) - sbase
                 if m2[ci]:
                     sres = sres + _lorentz_term(
                         sw, wsq, d2sq, wmax_sq < VERY_FAR_R * d2sq) - sbase
@@ -151,41 +186,64 @@ def _build_kernel(model: str, freqs: tuple):
         con_b = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
                  + h2o.cs * jnp.exp(h2o.xcs * log_ti) * pvap) * pvap
 
-        # ---- O2: 40 lines + nonresonant Debye -----------------------------
+        # ---- O2: resonant lines + nonresonant Debye ------------------------
         b = jnp.exp(o2.x * log_ti)
         den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
         dfnr = o2.wb300 * den
         dfnr2 = dfnr * dfnr
         dfnr_over_th = dfnr / ti
-        pb = 0.001 * p * b
+        ybase = 0.001 * p * b if o2.mixing_basis == "p" else den
+        pe2 = den * den if o2_second else None
         acc_o2 = [None] * nf
         for li in range(o2_f.size):
             f0 = float(o2_f[li])
             df = float(o2_w300[li]) * den
             dfsq = df * df
-            yy = pb * (float(o2_y300[li]) + float(o2_v[li]) * th1)
+            yy = ybase * (float(o2_y0[li]) + float(o2_y1[li]) * th1)
             strength = float(o2_s300[li]) * jnp.exp(-float(o2_be[li]) * th1)
+            # Second-order mixing (R19+): G scales the width numerator once
+            # per line (shared across channels); delta-nu shifts the line
+            # center, which only matters for near-resonant pairs — at "very
+            # far" distances (>= ~48 GHz) a <= 0.3 GHz shift changes an
+            # already <= 2.5e-5-relative wing term by < 1 %.
+            if o2_second and (o2_g0[li] or o2_g1[li]):
+                dfg = df * (1.0 + pe2 * (float(o2_g0[li])
+                                         + float(o2_g1[li]) * th1))
+            else:
+                dfg = df
+            if o2_second and (o2_dnu0[li] or o2_dnu1[li]):
+                dnu = pe2 * (float(o2_dnu0[li]) + float(o2_dnu1[li]) * th1)
+            else:
+                dnu = None
             inv_f02 = 1.0 / (f0 * f0)
             dfmax_sq = float(o2_dfmax[li]) ** 2
             for ci, fch in enumerate(freqs_np):
                 d1sq = (fch - f0) ** 2
                 d2sq = (fch + f0) ** 2
-                num1 = df + (fch - f0) * yy
-                num2 = df - (fch + f0) * yy
                 vf1 = dfmax_sq < VERY_FAR_R * d1sq
                 vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always very far
-                if not vf1 and not vf2:
-                    # both near: one divide over the common denominator
-                    den1 = dfsq + d1sq
-                    den2 = dfsq + d2sq
-                    pair = (num1 * den2 + num2 * den1) / (den1 * den2)
-                else:
-                    pair = _lorentz_term(num1, dfsq, d1sq, vf1) \
+                num2 = dfg - (fch + f0) * yy
+                if dnu is not None and not vf1:
+                    # near-resonant with a pressure-shifted center: the
+                    # detuning (and so the denominator) is tile-valued.
+                    d1 = (fch - f0) - dnu
+                    num1 = dfg + d1 * yy
+                    pair = num1 / (dfsq + d1 * d1) \
                         + _lorentz_term(num2, dfsq, d2sq, vf2)
+                else:
+                    num1 = dfg + (fch - f0) * yy
+                    if not vf1 and not vf2:
+                        # both near: one divide over the common denominator
+                        den1 = dfsq + d1sq
+                        den2 = dfsq + d2sq
+                        pair = (num1 * den2 + num2 * den1) / (den1 * den2)
+                    else:
+                        pair = _lorentz_term(num1, dfsq, d1sq, vf1) \
+                            + _lorentz_term(num2, dfsq, d2sq, vf2)
                 contrib = inv_f02 * (strength * pair)
                 acc_o2[ci] = contrib if acc_o2[ci] is None \
                     else acc_o2[ci] + contrib
-        o2_scale = (0.5034e12 / np.pi) * pda * ti * ti * ti
+        o2_scale = o2.scale * pda * ti * ti * ti
 
         # ---- dry (N2/pressure-induced) continuum base ---------------------
         if model == "R98":
@@ -210,7 +268,7 @@ def _build_kernel(model: str, freqs: tuple):
             f2 = float(fch * fch)
             h2o_lines = (f2 * h2o_scale) * acc_h2o[ci] if acc_h2o[ci] is not None \
                 else 0.0
-            nonres = (1.6e-17 * f2) * dfnr_over_th / (f2 + dfnr2)
+            nonres = (o2.nonres_coeff * f2) * dfnr_over_th / (f2 + dfnr2)
             line_sum = acc_o2[ci] if acc_o2[ci] is not None else 0.0
             o2_alpha = jnp.maximum(o2_scale * (f2 * line_sum + nonres), 0.0)
 

@@ -71,13 +71,23 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
 
     b = jnp.exp(o2.x * log_ti)
     den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
-    pb = 0.001 * p * b
+    ybase = 0.001 * p * b if o2.mixing_basis == "p" else den
+    second = o2.has_second_order
+    pe2 = den * den
     for li in range(np.asarray(o2.f).size):
-        rows.append(float(np.asarray(o2.w300)[li]) * den)
+        df = float(np.asarray(o2.w300)[li]) * den
+        rows.append(df)
         rows.append(float(np.asarray(o2.s300)[li])
                     * jnp.exp(-float(np.asarray(o2.be)[li]) * th1))
-        rows.append(pb * (float(np.asarray(o2.y300)[li])
-                          + float(np.asarray(o2.v)[li]) * th1))
+        rows.append(ybase * (float(np.asarray(o2.y0)[li])
+                             + float(np.asarray(o2.y1)[li]) * th1))
+        if second:
+            # width numerator with the G intensity coupling folded in, and
+            # the band pressure shift delta-nu (R19+ second-order mixing).
+            rows.append(df * (1.0 + pe2 * (float(np.asarray(o2.g0)[li])
+                                           + float(np.asarray(o2.g1)[li]) * th1)))
+            rows.append(pe2 * (float(np.asarray(o2.dnu0)[li])
+                               + float(np.asarray(o2.dnu1)[li]) * th1))
 
     dfnr = o2.wb300 * den
     con_b = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
@@ -95,7 +105,7 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
         "con_b": con_b,
         "dfnr2": dfnr * dfnr,
         "dfnr_over_th": dfnr / ti,
-        "o2_scale": (0.5034e12 / np.pi) * pda * ti * ti * ti,
+        "o2_scale": o2.scale * pda * ti * ti * ti,
         "n2_b": n2_b,
         "eps0": eps0,
         "inv_fp": inv_fp,
@@ -113,8 +123,9 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
     h2o_fl = np.asarray(h2o.fl, np.float64)
     o2_f = np.asarray(o2.f, np.float64)
     nh, no = h2o_fl.size, o2_f.size
-    assert not np.any(np.asarray(o2.g)) and not np.any(np.asarray(o2.dnu))
-    s_base = 2 * nh + 3 * no
+    second = o2.has_second_order
+    o2_rows = 5 if second else 3
+    s_base = 2 * nh + o2_rows * no
     sidx = {n: s_base + i for i, n in enumerate(scalar_names)}
 
     def kernel(f_ref, rows_ref, out_ref):
@@ -147,19 +158,27 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
         for li in range(no):
             f0 = float(o2_f[li])
-            df = row(2 * nh + 3 * li)
-            strength = row(2 * nh + 3 * li + 1)
-            yy = row(2 * nh + 3 * li + 2)
+            base = 2 * nh + o2_rows * li
+            df = row(base)
+            strength = row(base + 1)
+            yy = row(base + 2)
             dfsq = df * df
-            d1 = f - f0
-            d2 = f + f0
+            if second:
+                dfg = row(base + 3)   # df * (1 + G), second-order coupling
+                dnu = row(base + 4)   # band pressure shift
+                d1 = f - f0 - dnu
+                d2 = f + f0 + dnu
+            else:
+                dfg = df
+                d1 = f - f0
+                d2 = f + f0
             den1 = dfsq + d1 * d1
             den2 = dfsq + d2 * d2
-            num1 = df + d1 * yy
-            num2 = df - d2 * yy
+            num1 = dfg + d1 * yy
+            num2 = dfg - d2 * yy
             pair = (num1 * den2 + num2 * den1) / (den1 * den2)
             acc = acc + (1.0 / (f0 * f0)) * (strength * pair)
-        nonres = row(sidx["dfnr_over_th"]) * 1.6e-17 * f2 \
+        nonres = row(sidx["dfnr_over_th"]) * float(o2.nonres_coeff) * f2 \
             / (f2 + row(sidx["dfnr2"]))
         o2_alpha = jnp.maximum(
             row(sidx["o2_scale"]) * (f2 * acc + nonres), 0.0)

@@ -108,9 +108,51 @@ def test_tables_have_expected_sizes():
     for m in H2O_MODELS.values():
         assert m.fl.shape == (15,)
     for m in O2_MODELS.values():
-        assert m.f.shape == (40,)
+        # 40 lines in the 1995-vintage releases; 49 (band to N=37 + 11
+        # sub-mm) in the second-order 2019+ releases.
+        n = 49 if m.has_second_order else 40
+        nband = 38 if m.has_second_order else 34
+        assert m.f.shape == (n,)
         # 60-GHz complex mixing coefficients sum to ~0 (sum rule)
-        assert abs(float(np.sum(m.y300[:34] * m.s300[:34])) / float(np.sum(np.abs(m.y300[:34]) * m.s300[:34]))) < 0.2
+        band = slice(0, nband)
+        assert abs(float(np.sum(m.y0[band] * m.s300[band]))
+                   / float(np.sum(np.abs(m.y0[band]) * m.s300[band]))) < 0.2
+
+
+def test_o2_release_tables_pairwise_distinct():
+    # The reference evaluates R17/R20/R24 (plus R98) precisely because their
+    # V-band spectroscopy differs (PyRTlib_processing.py:121-151); the zenith
+    # sweep adds R19.  Each release generation must carry its own O2 table.
+    names = ["R98", "R16", "R17", "R19", "R20", "R24"]
+    def sig(m):
+        return tuple(np.concatenate([
+            m.w300, m.y0, m.y1, m.g0, m.g1, m.dnu0, m.dnu1,
+            [m.x, m.h2o_factor, m.scale]]).tolist())
+    sigs = {n: sig(O2_MODELS[n]) for n in names}
+    # R16 == R17 O2 is faithful to upstream (both carry the 2016 o2abs);
+    # every other pair differs.
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if {a, b} == {"R16", "R17"}:
+                assert sigs[a] == sigs[b]
+            else:
+                assert sigs[a] != sigs[b], (a, b)
+
+
+def test_second_order_mixing_vband_delta():
+    # Second-order mixing (G, delta-nu; Makarov et al. 2011/2020) reshapes
+    # the 60-GHz band at surface pressure: the R24-vs-R17 difference in the
+    # 52-54 GHz wing must be a clear sub-percent-to-few-percent effect —
+    # present (not H2O-only) but small (same band physics).
+    for f in (52.28, 53.86):
+        a17 = float(o2_absorption(f, 1013.0, 288.0, 0.0, O2_MODELS["R17"]))
+        a24 = float(o2_absorption(f, 1013.0, 288.0, 0.0, O2_MODELS["R24"]))
+        rel = abs(a24 - a17) / a17
+        assert 0.002 < rel < 0.15, (f, rel)
+    # And the deltas vanish at low pressure where mixing ~ P, P^2 -> 0.
+    a17 = float(o2_absorption(53.86, 30.0, 240.0, 0.0, O2_MODELS["R17"]))
+    a24 = float(o2_absorption(53.86, 30.0, 240.0, 0.0, O2_MODELS["R24"]))
+    assert abs(a24 - a17) / a17 < 0.05
 
 
 def test_nine_model_sweep_all_finite_positive():

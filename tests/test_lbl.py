@@ -112,6 +112,22 @@ def test_pallas_lanes_path_matches_xla(demo_batch, small_cfg):
                                np.asarray(ref["trans_level"]), rtol=0, atol=5e-3)
 
 
+@pytest.mark.parametrize("model", ["R98", "R03", "R16", "R17", "R19",
+                                   "R19SD", "R20", "R20SD", "R24"])
+def test_pallas_lanes_path_matches_xla_all_nine(model):
+    """Every member of the nine-model sweep (old_merge2nc.py:417-435) —
+    including the qSD variants and the second-order-mixing releases — runs
+    the fused path and agrees with the XLA reference."""
+    batch = lbl.demo_batch(2, n_levels=64)
+    cfg_x = lbl.LBLConfig(model=model, elevations_deg=(90.0, 4.2),
+                          outputs=("tb",))
+    cfg_p = lbl.LBLConfig(model=model, elevations_deg=(90.0, 4.2),
+                          outputs=("tb",), use_pallas=True)
+    ref = np.asarray(lbl.forward_batch(batch, cfg_x)["tb"])
+    got = np.asarray(lbl.forward_batch(batch, cfg_p)["tb"])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+
+
 def test_pallas_lanes_path_pads_odd_batch(small_cfg):
     """Batch sizes that are not lane-multiples are padded internally and
     sliced back."""
