@@ -123,8 +123,8 @@ def forward_stage(ds: Dataset,
                 fast_levtrans[sl, ..., crop] = np.transpose(lt, (0, 2, 3, 1))
             if with_jacobians:
                 kcfg = lbl_mod.LBLConfig(model=models[-1])
-                kout = jac_mod.kmatrix_batch(chunk, kcfg,
-                                             wrt=("t", "rho", "lwc"))
+                kout = jac_mod.kmatrix_batch_fast(chunk, kcfg,
+                                                  wrt=("t", "rho", "lwc"))
                 for name in jac:
                     kk = np.array(kout[name])        # (B, E, F, L)
                     kk[~bmask] = np.nan

@@ -88,6 +88,33 @@ def test_kmatrix_batch_shapes(prof):
     assert np.all(np.isfinite(np.asarray(out["t"])))
 
 
+def test_kmatrix_batch_fast_matches_jacrev(prof):
+    """The diagonal-adjoint fast path must agree with brute-force jacrev to
+    fp32 reassociation noise — same physics, different factorization."""
+    profiles = {k: v[None, :].repeat(3, 0) for k, v in prof.items()}
+    cfg = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 14.4, 4.2),
+                        freqs_ghz=F_SUB)
+    ref = jacobians.kmatrix_batch(profiles, cfg, wrt=("t", "rho", "lwc"))
+    fastk = jacobians.kmatrix_batch_fast(profiles, cfg,
+                                         wrt=("t", "rho", "lwc"))
+    for name in ("t", "rho", "lwc"):
+        a, b = np.asarray(ref[name]), np.asarray(fastk[name])
+        assert a.shape == b.shape == (3, 3, 3, 48)
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=2e-4 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_kmatrix_batch_fast_pressure_term(prof):
+    """wrt='p' exercises the 4th linearize seed + the geometry direct path."""
+    profiles = {k: v[None, :] for k, v in prof.items()}
+    cfg = lbl.LBLConfig(model="R98", elevations_deg=(30.0,), freqs_ghz=F_SUB)
+    ref = jacobians.kmatrix_batch(profiles, cfg, wrt=("p",))
+    fastk = jacobians.kmatrix_batch_fast(profiles, cfg, wrt=("p",))
+    a, b = np.asarray(ref["p"]), np.asarray(fastk["p"])
+    np.testing.assert_allclose(b, a, atol=2e-4 * max(np.abs(a).max(), 1.0))
+
+
 def test_fast_kmatrix_matches_finite_difference():
     from mwr_fast_forward_operators_and_lbls_tpu.models import fast, jacobians
 
