@@ -19,9 +19,10 @@ Provenance:
   * R24: 2024 release; HITRAN-2020-adjusted intensities, continuum refit.
   The model-to-model deltas implemented here capture the documented parameter
   updates; sub-0.1 % intensity retunes that are not publicly tabulated are
-  carried at their R98 values.  `tools/fit_tables.py` (see models/distill.py)
-  can refit any residual offset against an external LBL if bitwise parity is
-  required.
+  carried at their R98 values.  `tools/fit_tables.py` can refit any residual
+  offset against an external golden absorption file if bitwise parity with a
+  specific upstream release is required; the frozen accuracy anchors live in
+  tests/golden/ (see tools/make_golden.py).
 
 Units follow the Rosenkranz convention:
   FL   [GHz]      line center frequency

@@ -12,6 +12,7 @@ internal trailing axis, so the op is usable pointwise for any batch layout
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...constants.h2o_lines import H2O_MODELS, H2OModel
 
@@ -24,7 +25,7 @@ from ...constants.h2o_lines import H2O_MODELS, H2OModel
 # ~2.5e-13 relative over the full atmospheric (G0, G2, df) range — all in
 # real arithmetic (no complex error function), so it vmaps/fuses on TPU like
 # any other elementwise op.
-_GL_X = jnp.array([
+_GL_X = np.array([
     0.14739918461631113, 0.5909018112431884, 1.3344875116145762,
     2.3850115520046535, 3.752567873874768, 5.451062939568397,
     7.499085532907372, 9.921219136072429, 12.750055460117064,
@@ -32,7 +33,7 @@ _GL_X = jnp.array([
     29.321456103352332, 35.37955078717556, 42.79325597075464,
     52.618366255753244,
 ])
-_GL_W = jnp.array([
+_GL_W = np.array([
     9.7740989137130668e-02, 2.5230790121227259e-01, 2.7241982515207869e-01,
     1.7166350712629086e-01, 6.9540261026554209e-02, 1.8734808778456017e-02,
     3.3812292389549530e-03, 4.0525569008016644e-04, 3.1561318148868834e-05,
@@ -49,8 +50,8 @@ def _qsd_resonance(df, gamma0, gamma2):
     Inputs broadcast; a trailing quadrature axis is reduced internally.
     """
     dtype = gamma0.dtype
-    x = _GL_X.astype(dtype)
-    w = _GL_W.astype(dtype)
+    x = jnp.asarray(_GL_X, dtype)
+    w = jnp.asarray(_GL_W, dtype)
     cr = (gamma0 - 1.5 * gamma2)[..., None] + gamma2[..., None] * x
     ci = df[..., None]
     return jnp.sum(w * cr / (cr * cr + ci * ci), axis=-1)

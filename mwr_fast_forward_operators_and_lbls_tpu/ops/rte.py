@@ -57,8 +57,11 @@ def _emission_factors(dtau):
     """
     # The exact numerator 1-(1+d)e^-d ~ d^2/2 cancels catastrophically in
     # float32 below d ~ 0.03; a 3-term Taylor series covers that range to
-    # ~1e-7 absolute (next term d^4/30).
-    small = dtau < 0.03
+    # ~1e-7 absolute (next term d^4/30).  In float64 the cancellation is
+    # benign down to ~2e-4, where the same series is exact to round-off —
+    # keeping the float64 path at ~1e-13 so the analytic golden anchors
+    # (tests/test_golden.py) hold without tolerance windows.
+    small = dtau < (2e-4 if dtau.dtype == jnp.float64 else 0.03)
     d = jnp.where(small, 1.0, dtau)  # avoid 0/0 in the untaken branch
     em = jnp.exp(-d)
     g_top_exact = (1.0 - (1.0 + d) * em) / d
