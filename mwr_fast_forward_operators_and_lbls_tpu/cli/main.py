@@ -52,6 +52,12 @@ def _parse_mwr_specs(specs: list) -> dict:
     return out
 
 
+def _nc_fmt(args) -> str:
+    """Output dialect: --nc4 selects NetCDF-4/HDF5, the reference's own
+    default output format (preprocessing4all.py:1397-1401)."""
+    return "netcdf4" if getattr(args, "nc4", False) else "classic"
+
+
 def cmd_preprocess(args) -> int:
     from ..data import netcdf, preprocess
 
@@ -62,7 +68,7 @@ def cmd_preprocess(args) -> int:
     ds = preprocess.preprocess_files(
         files, args.campaign, args.location,
         mwr_files=_parse_mwr_specs(args.mwr) or None)
-    netcdf.write(args.output, ds)
+    netcdf.write(args.output, ds, fmt=_nc_fmt(args))
     print(f"wrote {args.output}: {ds.dims}")
     return 0
 
@@ -87,7 +93,7 @@ def cmd_forward(args) -> int:
     if cfg.compat_aliases:
         from ..eval import deviations
         ds = deviations.compat_aliases(ds)
-    netcdf.write(args.output, ds)
+    netcdf.write(args.output, ds, fmt=_nc_fmt(args))
     print(f"wrote {args.output} with models {cfg.models}"
           + (" + fast operator" if params is not None else ""))
     return 0
@@ -113,9 +119,19 @@ def cmd_evaluate(args) -> int:
     from ..pipeline import merge
 
     ds = netcdf.read(args.input)
-    ds = merge.analysis_dataset(ds, compat=args.compat_aliases or False)
+    external = None
+    if getattr(args, "mlnn", None):
+        # External MLNN retrieval cloud-flag product as the primary flag
+        # source (x_analysis_script_MARCH26.py:82-97).
+        external = sky.read_external_cloud_flags(args.mlnn, ds["time"].data)
+        n_cov = 0 if external is None else int(
+            (~__import__("numpy").isnan(external[:, 0])).sum())
+        print(f"MLNN cloud flags: {n_cov}/{ds.dims['time']} timesteps "
+              f"covered from {args.mlnn!r}")
+    ds = merge.analysis_dataset(ds, external_cloud_flag=external,
+                                compat=args.compat_aliases or False)
     if args.output:
-        netcdf.write(args.output, ds)
+        netcdf.write(args.output, ds, fmt=_nc_fmt(args))
         print(f"wrote analysis dataset {args.output}")
     if args.start or args.end:
         # Seasonal re-analysis windows (May-dry / June-July-humid loops,
@@ -378,6 +394,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mwr", action="append",
                     help="instrument=glob (repeatable)")
     sp.add_argument("-o", "--output", required=True)
+    sp.add_argument("--nc4", action="store_true",
+                    help="write NetCDF-4/HDF5 instead of classic")
     sp.set_defaults(fn=cmd_preprocess)
 
     sf = sub.add_parser("forward", help="harmonized dataset -> model TBs")
@@ -394,6 +412,8 @@ def build_parser() -> argparse.ArgumentParser:
     sf.add_argument("--compat", dest="compat_aliases", action="store_true",
                     default=None, help="add reference-schema variable names")
     sf.add_argument("--batch-size", type=int, default=None)
+    sf.add_argument("--nc4", action="store_true",
+                    help="write NetCDF-4/HDF5 instead of classic")
     sf.set_defaults(fn=cmd_forward)
 
     sd = sub.add_parser("distill", help="train fast-operator coefficients")
@@ -420,6 +440,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write per-sonde bias figures for N launches")
     se.add_argument("--stats-csv", dest="stats_csv", default=None,
                     help="write the per-channel stats table as CSV")
+    se.add_argument("--mlnn", default=None,
+                    help="glob of external MLNN cloud-flag NetCDFs "
+                         "(primary source for cloud_flag)")
+    se.add_argument("--nc4", action="store_true",
+                    help="write NetCDF-4/HDF5 instead of classic")
     se.set_defaults(fn=cmd_evaluate)
 
     sr = sub.add_parser("retrieve",

@@ -101,14 +101,29 @@ class _Parser:
         return out
 
 
-def read_classic(path: str) -> Dataset:
-    """Parse a CDF-1/2/5 file into a Dataset (record dim fully materialized)."""
+def read_classic(path: str, lazy: bool = False) -> Dataset:
+    """Parse a CDF-1/2/5 file into a Dataset.
+
+    lazy=True memory-maps the file and returns zero-copy big-endian views
+    into the map instead of decoded copies: opening a multi-GB harmonized
+    campaign file costs only the header parse, and the OS pages data in as
+    variables are actually touched (the reference's own outputs reach this
+    scale — 520 x 180 x 10 x 72 x 14 plus model outputs).  The views keep
+    the mapping alive through their buffer reference.
+    """
+    if lazy:
+        import mmap
+
+        with open(path, "rb") as fh:
+            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        return read_classic_bytes(mm, path, lazy=True)
     with open(path, "rb") as fh:
         buf = fh.read()
     return read_classic_bytes(buf, path)
 
 
-def read_classic_bytes(buf: bytes, path: str = "<bytes>") -> Dataset:
+def read_classic_bytes(buf, path: str = "<bytes>",
+                       lazy: bool = False) -> Dataset:
     """Parse an in-memory CDF-1/2/5 file image (the native parallel loader
     hands whole-file buffers here, utils/native.read_files)."""
     if buf[:3] != b"CDF":
@@ -176,6 +191,18 @@ def read_classic_bytes(buf: bytes, path: str = "<bytes>") -> Dataset:
             else:
                 data = np.frombuffer(buf, dt, fixed_count, begin).reshape(shape)
             data = data.view("S1")
+        elif lazy:
+            if is_rec:
+                # Zero-copy strided view over the interleaved record blocks.
+                inner = shape[1:]
+                strides = (recsize,) + tuple(
+                    int(np.prod(inner[i + 1:], dtype=np.int64))
+                    * dt.itemsize for i in range(len(inner)))
+                data = np.ndarray(shape, dt, buffer=buf, offset=begin,
+                                  strides=strides)
+            else:
+                data = np.frombuffer(buf, dt, fixed_count,
+                                     begin).reshape(shape)
         elif is_rec:
             data = native.gather_records_be(
                 buf, dt, numrecs or 0, recsize, fixed_count, begin
@@ -229,12 +256,16 @@ def read_hdf5(path: str) -> Dataset:
     return ds
 
 
-def read(path: str) -> Dataset:
-    """Open either classic or HDF5-based NetCDF."""
+def read(path: str, lazy: bool = False) -> Dataset:
+    """Open either classic or HDF5-based NetCDF.
+
+    lazy=True mmaps classic files (zero-copy big-endian views; memory stays
+    bounded on multi-GB inputs).  HDF5 reads are always materialized.
+    """
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:3] == b"CDF":
-        return read_classic(path)
+        return read_classic(path, lazy=lazy)
     if magic[:8] == b"\x89HDF\r\n\x1a\n":
         return read_hdf5(path)
     raise ValueError(f"{path}: unrecognized format {magic!r}")
@@ -263,6 +294,82 @@ def read_many(paths: list) -> list:
         except Exception:
             out.append(None)
     return out
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-4 (HDF5) writer
+# ---------------------------------------------------------------------------
+
+# netcdf-c's sentinel NAME for a dimension without a coordinate variable
+# (libsrc4/nc4hdf.c, DIM_WITHOUT_VARIABLE): sentence + %10d length.
+_DIM_WITHOUT_VARIABLE = "This is a netCDF dimension but not a netCDF variable."
+
+
+def _h5_value(v):
+    if isinstance(v, str):
+        return v
+    if isinstance(v, np.ndarray) and v.dtype.kind == "U":
+        return [s.encode("utf-8") for s in v.ravel()]
+    return v
+
+
+def write_hdf5(path: str, ds: Dataset, compression=None) -> None:
+    """Write the Dataset as NetCDF-4 (HDF5 with netCDF-4 conventions).
+
+    The reference pipeline's own outputs are netCDF4-by-default (xarray
+    `to_netcdf`, /root/reference/python_src/preproc/preprocessing4all.py:
+    1397-1401); this writer produces the same on-disk dialect — dimension
+    scales, DIMENSION_LIST attachments, `_Netcdf4Dimid` markers — so
+    xarray/netCDF4 tooling opens our compat-mode files exactly as it opens
+    the reference's.
+
+    compression: e.g. "gzip" to chunk+deflate the data variables.
+    """
+    import h5py
+
+    dims: dict[str, int] = {}
+    for nm, var in ds.variables.items():
+        for d, n in zip(var.dims, var.data.shape):
+            if dims.setdefault(d, n) != n:
+                raise ValueError(f"dim {d} size conflict")
+
+    def as_h5(data: np.ndarray) -> np.ndarray:
+        if data.dtype.kind == "U":
+            return np.char.encode(data, "utf-8")
+        if data.dtype.kind == "b":
+            return data.astype("i1")
+        return data
+
+    coord_names = {d for d in dims
+                   if d in ds.variables and ds.variables[d].dims == (d,)}
+    with h5py.File(path, "w") as f:
+        for k, v in ds.attrs.items():
+            if k.startswith("_dims"):
+                continue
+            f.attrs[k] = _h5_value(v)
+        # 1) dimension scales
+        for dimid, (d, n) in enumerate(dims.items()):
+            if d in coord_names:
+                data = as_h5(np.asarray(ds.variables[d].data))
+                dset = f.create_dataset(d, data=data,
+                                        compression=compression)
+                dset.make_scale(d)
+                for ak, av in ds.variables[d].attrs.items():
+                    dset.attrs[ak] = _h5_value(av)
+            else:
+                dset = f.create_dataset(d, shape=(n,), dtype=">f4")
+                dset.make_scale(f"{_DIM_WITHOUT_VARIABLE}{n:10d}")
+            dset.attrs["_Netcdf4Dimid"] = np.int32(dimid)
+        # 2) data variables with their dims attached
+        for nm, var in ds.variables.items():
+            if nm in coord_names:
+                continue
+            data = as_h5(np.asarray(var.data))
+            dset = f.create_dataset(nm, data=data, compression=compression)
+            for ak, av in var.attrs.items():
+                dset.attrs[ak] = _h5_value(av)
+            for axis, d in enumerate(var.dims):
+                dset.dims[axis].attach_scale(f[d])
 
 
 # ---------------------------------------------------------------------------
@@ -346,12 +453,19 @@ class _Writer:
         return b"".join(self.parts)
 
 
-def write(path: str, ds: Dataset, version: int | None = None) -> None:
-    """Write the Dataset as NetCDF classic (all dims fixed-size).
+def write(path: str, ds: Dataset, version: int | None = None,
+          fmt: str = "classic") -> None:
+    """Write the Dataset as NetCDF.
 
-    version: 2 (64-bit offset, default) or 5 (64-bit data; auto-selected when
-    any variable needs int64/unsigned types).
+    fmt: "classic" (CDF-2/5, own codec) or "netcdf4" (HDF5-based, the
+    reference's default output dialect — see `write_hdf5`).
+    version: for classic — 2 (64-bit offset, default) or 5 (64-bit data;
+    auto-selected when any variable needs int64/unsigned types).
     """
+    if fmt == "netcdf4":
+        return write_hdf5(path, ds)
+    if fmt != "classic":
+        raise ValueError(f"unknown NetCDF format {fmt!r}")
     converted = {}
     for nm, var in ds.variables.items():
         data = var.data

@@ -36,6 +36,77 @@ def mean_mwr_lwp(ds: Dataset) -> np.ndarray:
     return np.nanmean(np.stack(vals), axis=0)
 
 
+def read_external_cloud_flags(pattern: str, ds_times,
+                              tolerance_s: float = 1800.0,
+                              n_elev: int = hatpro.N_ELEVATIONS):
+    """Read external retrieval cloud-flag NetCDFs (the MLNN product) and
+    reindex them onto the dataset time axis.
+
+    Reproduces add_MLNN_cloud_info (/root/reference/python_src/plot_scripts/
+    x_analysis_script_MARCH26.py:82-97): glob the product files, take their
+    `cloud_flag(time, n_angle)`, and nearest-match each dataset timestep
+    within a 30-min tolerance; timesteps without coverage stay NaN so the
+    LWP fallback in `add_cloud_flag` fills them.
+
+    Args:
+      pattern: glob of product NetCDF files.  Each must carry `cloud_flag`
+        with a time dimension and an angle dimension (either order) plus a
+        `time` variable (CF-encoded or epoch seconds).
+      ds_times: (T,) dataset times [epoch s] (or anything
+        utils.times.to_epoch_seconds accepts elementwise).
+
+    Returns:
+      (T, n_elev) float array with NaN where the product has no coverage,
+      ready to pass as `external_flag` to `add_cloud_flag`; None when no
+      files match (the reference's behavior degrades the same way).
+    """
+    import glob as globmod
+
+    from ..data import netcdf
+    from ..utils import times as times_mod
+
+    files = sorted(globmod.glob(pattern))
+    if not files:
+        return None
+    t_parts, f_parts = [], []
+    for path in files:
+        prod = netcdf.read(path)
+        if "cloud_flag" not in prod or "time" not in prod:
+            continue
+        var = prod["cloud_flag"]
+        t = times_mod.decode_cf_time(prod["time"].data,
+                                     prod["time"].attrs.get("units"))
+        arr = np.asarray(var.data, float)
+        if arr.ndim == 1:
+            arr = np.tile(arr[:, None], (1, n_elev))
+        elif var.dims and var.dims[0] != "time":
+            arr = arr.T                       # (n_angle, time) -> (time, ..)
+        if arr.shape[1] < n_elev:             # zenith-only products
+            arr = np.concatenate(
+                [arr, np.full((arr.shape[0], n_elev - arr.shape[1]),
+                              np.nan)], axis=1)
+        t_parts.append(t)
+        f_parts.append(arr[:, :n_elev])
+    if not t_parts:
+        return None
+    t_all = np.concatenate(t_parts)
+    f_all = np.concatenate(f_parts, axis=0)
+    order = np.argsort(t_all, kind="stable")
+    t_all, f_all = t_all[order], f_all[order]
+
+    want = np.asarray([times_mod.to_epoch_seconds(t) for t in
+                       np.asarray(ds_times).ravel()], np.float64)
+    # nearest neighbour within tolerance (xarray reindex method="nearest")
+    idx = np.searchsorted(t_all, want)
+    idx_lo = np.clip(idx - 1, 0, len(t_all) - 1)
+    idx_hi = np.clip(idx, 0, len(t_all) - 1)
+    take_hi = np.abs(t_all[idx_hi] - want) < np.abs(t_all[idx_lo] - want)
+    nearest = np.where(take_hi, idx_hi, idx_lo)
+    out = f_all[nearest].astype(float)
+    out[np.abs(t_all[nearest] - want) > tolerance_s] = np.nan
+    return out
+
+
 def add_cloud_flag(ds: Dataset, external_flag: np.ndarray | None = None,
                    thres_lwp: float = LWP_CLEAR_THRESHOLD,
                    rs_override: float = LWP_RS_OVERRIDE) -> Dataset:

@@ -45,6 +45,41 @@ def parse_compact(stamp: str) -> dt.datetime:
     return dt.datetime.strptime(stamp, fmt).replace(tzinfo=dt.timezone.utc)
 
 
+_CF_UNITS = {"seconds": 1.0, "second": 1.0, "sec": 1.0, "s": 1.0,
+             "minutes": 60.0, "minute": 60.0, "min": 60.0,
+             "hours": 3600.0, "hour": 3600.0, "hr": 3600.0, "h": 3600.0,
+             "days": 86400.0, "day": 86400.0, "d": 86400.0}
+
+
+def decode_cf_time(values, units: str | None) -> np.ndarray:
+    """CF '<unit> since <reference>' time values -> unix epoch seconds.
+
+    Covers the encodings the external retrieval / MWR products use (xarray
+    would decode these transparently in the reference,
+    x_analysis_script_MARCH26.py:84-97); values without a 'since' clause are
+    assumed to be epoch seconds already.
+    """
+    vals = np.asarray(values, np.float64)
+    if not units or " since " not in str(units):
+        return vals
+    unit, ref = str(units).split(" since ", 1)
+    scale = _CF_UNITS.get(unit.strip().lower())
+    if scale is None:
+        raise ValueError(f"unsupported CF time unit {unit!r}")
+    ref = ref.strip().replace("T", " ").split("+")[0].rstrip("Z").strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            base = dt.datetime.strptime(ref, fmt).replace(
+                tzinfo=dt.timezone.utc)
+            break
+        except ValueError:
+            continue
+    else:
+        raise ValueError(f"unparseable CF reference date {ref!r}")
+    return base.timestamp() + vals * scale
+
+
 def format_compact(t, seconds: bool = False) -> str:
     d = from_epoch_seconds(to_epoch_seconds(t))
     return d.strftime("%Y%m%d%H%M%S" if seconds else "%Y%m%d%H%M")

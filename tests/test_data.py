@@ -71,6 +71,55 @@ def test_netcdf_reads_hdf5(tmp_path):
     assert r["ta"].attrs["units"] == "K"
 
 
+def test_netcdf4_write_roundtrip(tmp_path):
+    """write_hdf5 produces a NetCDF-4 file our HDF5 reader (and any
+    netCDF4/xarray install) round-trips: dimension scales, DIMENSION_LIST
+    attachments, coordinate variables, attrs."""
+    ds = Dataset(attrs={"Conventions": "CF-1.8", "title": "nc4"})
+    ds["time"] = (("time",), np.arange(4, dtype="f8"), {"units": "s"})
+    ds["a"] = (("lev", "time"), np.arange(12, dtype="f4").reshape(3, 4),
+               {"units": "K", "long_name": "test var"})
+    ds["flag"] = (("time",), np.array([0, 1, 1, 0], "i4"), {})
+    path = str(tmp_path / "r4.nc")
+    netcdf.write(path, ds, fmt="netcdf4")
+
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert f["lev"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        assert b"not a netCDF variable" in f["lev"].attrs["NAME"]
+        assert "DIMENSION_LIST" in f["a"].attrs
+        assert "_Netcdf4Dimid" in f["time"].attrs
+
+    r = netcdf.read(path)
+    np.testing.assert_array_equal(r["a"].data, ds["a"].data)
+    assert r["a"].dims == ("lev", "time")
+    assert r["a"].attrs["units"] == "K"
+    assert r.attrs["Conventions"] == "CF-1.8"
+    np.testing.assert_array_equal(r["time"].data, ds["time"].data)
+
+
+def test_netcdf_lazy_read_zero_copy(tmp_path):
+    """lazy=True returns mmap-backed big-endian views (no decode copy), so
+    multi-GB campaign files open at header-parse cost."""
+    ds = Dataset()
+    big = np.arange(600_000, dtype="f4").reshape(300, 2000)
+    ds["big"] = (("row", "col"), big, {})
+    ds["ints"] = (("row",), np.arange(300, dtype="i4"), {})
+    path = str(tmp_path / "lazy.nc")
+    netcdf.write(path, ds)
+
+    r = netcdf.read(path, lazy=True)
+    a = r["big"].data
+    assert a.dtype == np.dtype(">f4")
+    assert not a.flags["OWNDATA"]          # view into the mmap, not a copy
+    np.testing.assert_array_equal(np.asarray(a[5], "f4"), big[5])
+    np.testing.assert_array_equal(np.asarray(r["ints"].data, "i4"),
+                                  np.arange(300))
+    # values identical to the eager path
+    e = netcdf.read(path)
+    np.testing.assert_array_equal(np.asarray(a, "f4"), e["big"].data)
+
+
 def test_dataset_isel_concat():
     ds = Dataset()
     ds["v"] = (("time", "lev"), np.arange(12.0).reshape(4, 3), {})

@@ -82,6 +82,52 @@ def test_cloud_flag_external_primary():
     assert flag[1, 0] == 0    # NaN external -> LWP fallback
 
 
+def test_read_external_cloud_flags_reindex(tmp_path):
+    """MLNN product reader: CF time decoding, (n_angle, time) transposition,
+    nearest-within-30-min reindexing, NaN outside coverage
+    (x_analysis_script_MARCH26.py:82-97)."""
+    from mwr_fast_forward_operators_and_lbls_tpu.data import netcdf
+
+    base = 1_600_000_000.0
+    # product file 1: (time, n_angle), epoch-second time, covers t0..t0+900
+    prod = Dataset()
+    prod["time"] = (("time",), base + np.array([0.0, 600.0, 900.0]),
+                    {"units": "seconds since 1970-01-01 00:00:00"})
+    flags = np.zeros((3, 10)); flags[1] = 1.0
+    prod["cloud_flag"] = (("time", "n_angle"), flags, {})
+    netcdf.write(str(tmp_path / "mlnn_a.nc"), prod)
+    # product file 2: transposed dims and hour-based CF time, far future
+    prod2 = Dataset()
+    prod2["time"] = (("time",), np.array([2.0]),
+                     {"units": "hours since 2020-09-13 12:26:40"})
+    prod2["cloud_flag"] = (("n_angle", "time"), np.ones((10, 1)), {})
+    netcdf.write(str(tmp_path / "mlnn_b.nc"), prod2)
+
+    ds_times = base + np.array([10.0, 630.0, 7200.0, 50_000.0])
+    ext = sky.read_external_cloud_flags(str(tmp_path / "mlnn_*.nc"), ds_times)
+    assert ext.shape == (4, 10)
+    assert ext[0, 0] == 0.0          # nearest = t0 (10 s away)
+    assert ext[1, 0] == 1.0          # nearest = t0+600 (30 s away)
+    assert ext[2, 0] == 1.0          # file 2: 2 h after 12:26:40 = base+7200
+    assert np.isnan(ext[3, 0])       # 50 ks: nothing within 30 min
+
+    # end-to-end through the priority chain
+    ds = Dataset()
+    ds["time"] = (("time",), ds_times, {})
+    ds["Joyhat_LWP"] = (("time",), np.array([0.0, 0.001, 0.02, 0.5]), {})
+    ds["elevation"] = (("elevation",), np.linspace(90, 4.2, 10), {})
+    ds = sky.add_cloud_flag(ds, external_flag=ext)
+    flag = ds["cloud_flag"].data
+    assert flag[0, 0] == 0 and flag[1, 0] == 1 and flag[2, 0] == 1
+    # timestep 3 uncovered -> LWP fallback (0.5 -> cloudy)
+    assert flag[3, 0] == 1
+
+
+def test_read_external_cloud_flags_no_match(tmp_path):
+    assert sky.read_external_cloud_flags(
+        str(tmp_path / "nothing_*.nc"), np.array([0.0])) is None
+
+
 def test_split_clear_cloudy():
     ds = _mini_ds()
     clear, cloudy = sky.split_clear_cloudy(ds)
