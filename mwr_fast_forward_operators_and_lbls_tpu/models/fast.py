@@ -200,19 +200,16 @@ def _fast_forward_batch_lanes(params, z, p, t, rho, lwc,
     alpha_mid = jnp.maximum(alpha_mid, 0.0)
 
     e_hpa = thermo.rho_to_e(rho.T, tt)
-    if "trans_level" in config.outputs:
-        ds_km = jnp.stack([
-            geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
-            for el in config.elevations_deg])          # (E, L-1, Bp)
-        stacked = rte.downwelling_tb_lb_from_alpha_mid(
-            alpha_mid, ds_km, tt, f, want_trans_level=True)
-    else:
-        # Serving path: geometry + RTE in one fused Pallas kernel on the
-        # predicted layer-mean extinction (see ops/pallas/rte_kernel.py).
-        from ..ops.pallas.rte_kernel import forward_lb_fused
-        n = geometry.refractive_index(pt, tt, e_hpa)
-        stacked = forward_lb_fused(config.freqs_ghz, config.elevations_deg,
-                                   alpha_mid, zt, n, tt, alpha_is_mid=True)
+    # Serving path: geometry + RTE in one fused Pallas kernel on the
+    # predicted layer-mean extinction (see ops/pallas/rte_kernel.py); the
+    # level-transmittance profile, when requested, streams from the same
+    # kernel instead of falling back to the XLA formulation.
+    from ..ops.pallas.rte_kernel import forward_lb_fused
+    n = geometry.refractive_index(pt, tt, e_hpa)
+    stacked = forward_lb_fused(
+        config.freqs_ghz, config.elevations_deg, alpha_mid, zt, n, tt,
+        alpha_is_mid=True,
+        want_trans_level="trans_level" in config.outputs)
     stacked = {k: v for k, v in stacked.items() if k in config.outputs}
 
     def restore(k, v):

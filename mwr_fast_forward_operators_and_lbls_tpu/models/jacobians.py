@@ -129,10 +129,18 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
     seeds = {"t": (ones, zero, zero, zero),
              "rho": (zero, ones, zero, zero),
-             "lwc": (zero, zero, ones, zero),
              "p": (zero, zero, zero, ones)}
     partials = {name: lin(*seeds[name]).transpose(2, 0, 1)   # (B, F, L)
-                for name in wrt}
+                for name in wrt if name != "lwc"}
+    if "lwc" in wrt:
+        # Cloud absorption is exactly linear in LWC (Rayleigh regime), so
+        # d(alpha)/d(lwc) is liquid_absorption at unit content — one direct
+        # elementwise evaluation instead of a linearize tangent pass.
+        from ..ops.absorption import liquid_absorption
+        partials["lwc"] = jnp.broadcast_to(
+            liquid_absorption(f[:, None, None], tT[None],
+                              jnp.ones_like(tT)[None]),
+            alpha_lb.shape).transpose(2, 0, 1)
     alpha = alpha_lb.transpose(2, 0, 1)                      # (B, F, L)
 
     # -- 2) geometry + RTE adjoint: grad of one scalar TB per (b, f, e).

@@ -103,12 +103,6 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
     lwc = jnp.zeros_like(rho) if (lwc is None or not config.include_liquid) \
         else lwc.astype(dtype)
 
-    # All nine absorption models (VVW and qSD line shapes, first- and
-    # second-order O2 mixing) run the fused path; only the optional O3 term
-    # routes through the XLA path.
-    if config.use_pallas and not config.include_o3:
-        return _forward_batch_lanes(z, p, t, rho, lwc, f, config)
-
     o3 = None
     if config.include_o3:
         o3 = profiles.get("o3_ppmv")
@@ -118,6 +112,11 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
             o3 = jnp.interp(z / 1000.0, jnp.asarray(clim["z_km"], dtype),
                             jnp.asarray(clim["o3_ppmv"], dtype))
         o3 = o3.astype(dtype)
+
+    # All nine absorption models (VVW and qSD line shapes, first- and
+    # second-order O2 mixing) and the optional O3 term run the fused path.
+    if config.use_pallas:
+        return _forward_batch_lanes(z, p, t, rho, lwc, f, config, o3=o3)
 
     def one(zi, pi, ti, ri, li, oi=None):
         def at_elev(el):
@@ -132,7 +131,7 @@ def forward_batch(profiles: dict, config: LBLConfig = LBLConfig()):
     return {k: v for k, v in out.items() if k in config.outputs}
 
 
-def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig):
+def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig, o3=None):
     """TPU fast path: fused Pallas absorption + lanes-batch geometry/RTE.
 
     Profiles are transposed ONCE to the (L, B) "lanes-batch" layout (levels on
@@ -157,24 +156,20 @@ def _forward_batch_lanes(z, p, t, rho, lwc, f, config: LBLConfig):
 
     zt, pt, tt, rt, wt = prep(z), prep(p), prep(t), prep(rho), prep(lwc)
     alpha = absorption_lb_fused(config.freqs_ghz, pt, tt, rt, wt,
-                                config.model)              # (F, L, Bp)
+                                config.model,
+                                o3=None if o3 is None else prep(o3))
+    # alpha: (F, L, Bp)
     e_hpa = thermo.rho_to_e(rt, tt)
 
-    if "trans_level" in config.outputs:
-        # The (E, F, L, B) transmittance profile has to be materialized
-        # anyway, so the fused RTE buys nothing — take the XLA route.
-        ds_km = jnp.stack([
-            geometry.slant_path_lengths_lb(zt, pt, tt, e_hpa, el)
-            for el in config.elevations_deg])              # (E, L-1, Bp)
-        stacked = rte.downwelling_tb_lb_multi(alpha, ds_km, tt, f,
-                                              want_trans_level=True)
-    else:
-        # Geometry + RTE in one kernel; only the refractive index (one
-        # elevation-independent elementwise pass) is computed in XLA.
-        from ..ops.pallas.rte_kernel import forward_lb_fused
-        n = geometry.refractive_index(pt, tt, e_hpa)
-        stacked = forward_lb_fused(config.freqs_ghz, config.elevations_deg,
-                                   alpha, zt, n, tt)
+    # Geometry + RTE in one kernel; only the refractive index (one
+    # elevation-independent elementwise pass) is computed in XLA.  When the
+    # (E, F, L, B) transmittance profile is requested it streams straight
+    # from the kernel's in-VMEM scan — its HBM write is the only extra cost.
+    from ..ops.pallas.rte_kernel import forward_lb_fused
+    n = geometry.refractive_index(pt, tt, e_hpa)
+    stacked = forward_lb_fused(
+        config.freqs_ghz, config.elevations_deg, alpha, zt, n, tt,
+        want_trans_level="trans_level" in config.outputs)
     stacked = {k: v for k, v in stacked.items() if k in config.outputs}
     # Back to the public (B, E, F[, L]) layout; these transposes restore the
     # batch-major convention and are the only relayouts in the whole path —

@@ -45,11 +45,13 @@ LANES = 128         # native lane count
 BLOCK_ROWS = 8      # sublane rows per grid step (8 = one fp32 vreg per value)
 
 
-def _build_kernel(model: str, freqs: tuple):
+def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
     """Return a Pallas kernel computing alpha for this model + channel set.
 
     All spectroscopy constants become Python-float immediates; the channel
-    loop is unrolled with per-channel scalar frequencies.
+    loop is unrolled with per-channel scalar frequencies.  with_o3 adds a
+    fifth (o3 ppmv) input and the 15-line ozone rotational sum (the ARMS-gb
+    capability, ARMS_gb_processing.py:94-99).
     """
     freqs_np = np.asarray(freqs, np.float64)
     nf = freqs_np.size
@@ -57,6 +59,15 @@ def _build_kernel(model: str, freqs: tuple):
     o2 = O2_MODELS[model]
     cut = float(h2o.cutoff_ghz)
     cut2 = cut * cut
+
+    if with_o3:
+        from ...constants import o3_lines
+        o3_fl = np.asarray(o3_lines.O3_FL, np.float64)
+        o3_s1 = np.asarray(o3_lines.O3_S1, np.float64)
+        o3_b2 = np.asarray(o3_lines.O3_B2, np.float64)
+        o3_w3 = np.asarray(o3_lines.O3_W3, np.float64)
+        o3_x = np.asarray(o3_lines.O3_X, np.float64)
+        o3_wmax = o3_w3 * 1100.0 * (300.0 / 170.0) ** np.maximum(o3_x, 0)
 
     h2o_fl = np.asarray(h2o.fl, np.float64)
     h2o_s1 = np.asarray(h2o.s1, np.float64)
@@ -103,7 +114,11 @@ def _build_kernel(model: str, freqs: tuple):
             return (num * inv) * (1.0 - var_sq * inv)
         return num / (var_sq + d_sq)
 
-    def kernel(p_ref, t_ref, rho_ref, lwc_ref, out_ref):
+    def kernel(p_ref, t_ref, rho_ref, lwc_ref, *rest):
+        if with_o3:
+            o3_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         p = p_ref[:]
         t = t_ref[:]
         rho = rho_ref[:]
@@ -253,6 +268,33 @@ def _build_kernel(model: str, freqs: tuple):
             n2_b = 6.5e-14 * pda * pda * jnp.exp(3.6 * log_ti)
             n2_fdep = [0.5 + 0.5 / (1.0 + (f / 450.0) ** 2) for f in freqs_np]
 
+        # ---- ozone rotational lines (ARMS-gb parity) ----------------------
+        acc_o3 = [None] * nf
+        o3_den = None
+        if with_o3:
+            q = o3_ref[:]
+            o3_den = 7.2429e12 * p * q / t
+            for li in range(o3_fl.size):
+                fl = float(o3_fl[li])
+                width = float(o3_w3[li]) * p \
+                    * jnp.exp(float(o3_x[li]) * log_ti)
+                wsq = width * width
+                s = float(o3_s1[li]) * ti2 \
+                    * jnp.exp(float(o3_b2[li]) * (1.0 - ti))
+                sw = s * width
+                inv_fl2 = 1.0 / (fl * fl)
+                wmax_sq = float(o3_wmax[li]) ** 2
+                for ci, fch in enumerate(freqs_np):
+                    d1sq = (fch - fl) ** 2
+                    d2sq = (fch + fl) ** 2
+                    res = _lorentz_term(sw, wsq, d1sq,
+                                        wmax_sq < VERY_FAR_R * d1sq) \
+                        + _lorentz_term(sw, wsq, d2sq,
+                                        wmax_sq < VERY_FAR_R * d2sq)
+                    contrib = inv_fl2 * res
+                    acc_o3[ci] = contrib if acc_o3[ci] is None \
+                        else acc_o3[ci] + contrib
+
         # ---- cloud liquid (Liebe-Hufford-Manabe dielectric) ---------------
         theta1 = 1.0 - 300.0 / t
         eps0 = 77.66 - 103.3 * theta1
@@ -281,20 +323,23 @@ def _build_kernel(model: str, freqs: tuple):
             aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
             liq = (fch * aimag) * w_scaled
 
-            out_ref[ci] = (h2o_lines + f2 * con_b + o2_alpha
-                           + (f2 * n2_fdep[ci]) * n2_b + liq)
+            alpha_ci = (h2o_lines + f2 * con_b + o2_alpha
+                        + (f2 * n2_fdep[ci]) * n2_b + liq)
+            if with_o3 and acc_o3[ci] is not None:
+                alpha_ci = alpha_ci + (0.3183e-4 * f2) * o3_den * acc_o3[ci]
+            out_ref[ci] = alpha_ci
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("freqs", "model"))
 def total_absorption_fused(freqs: tuple, p_hpa, t_k, rho_gm3, lwc_gm3,
-                           model: str = "R24"):
+                           model: str = "R24", o3_ppmv=None):
     """Fused absorption: (N,) flattened level arrays -> (F, N) alpha [Np/km].
 
     freqs: static tuple of channel frequencies [GHz] (baked into the kernel).
-    p/t/rho/lwc: (N,) float32, N a multiple of BLOCK_ROWS*LANES (pad with any
-    finite values and discard those columns).
+    p/t/rho/lwc (and optional o3 ppmv): (N,) float32, N a multiple of
+    BLOCK_ROWS*LANES (pad with any finite values and discard those columns).
     """
     n = p_hpa.shape[0]
     block = BLOCK_ROWS * LANES
@@ -302,27 +347,31 @@ def total_absorption_fused(freqs: tuple, p_hpa, t_k, rho_gm3, lwc_gm3,
         raise ValueError(f"N={n} not a multiple of {block}")
     nf = len(freqs)
     m = n // LANES
-    kernel = _build_kernel(model, tuple(freqs))
+    with_o3 = o3_ppmv is not None
+    kernel = _build_kernel(model, tuple(freqs), with_o3=with_o3)
     grid = (m // BLOCK_ROWS,)
     tile = lambda a: a.reshape(m, LANES).astype(jnp.float32)
     in_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+    inputs = [tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3)]
+    if with_o3:
+        inputs.append(tile(o3_ppmv))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec] * 4,
+        in_specs=[in_spec] * len(inputs),
         out_specs=pl.BlockSpec((nf, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, m, LANES), jnp.float32),
         # On non-TPU backends (CPU test meshes) run the kernel interpreted so
         # the fast path stays exercisable everywhere.
         interpret=(jax.default_backend() != "tpu"),
-    )(tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3))
+    )(*inputs)
     return out.reshape(nf, n)
 
 
 def absorption_lb_fused(freqs: tuple, p, t, rho, lwc,
-                        model: str = "R24") -> jax.Array:
+                        model: str = "R24", o3=None) -> jax.Array:
     """(L, B) lanes-batch arrays -> (F, L, B) alpha via the fused kernel.
 
     B must be a multiple of 128 with L*B a multiple of BLOCK_ROWS*LANES, so
@@ -332,7 +381,8 @@ def absorption_lb_fused(freqs: tuple, p, t, rho, lwc,
     l, b = p.shape
     alpha = total_absorption_fused(
         tuple(freqs), p.reshape(-1), t.reshape(-1), rho.reshape(-1),
-        lwc.reshape(-1), model)
+        lwc.reshape(-1), model,
+        o3_ppmv=None if o3 is None else o3.reshape(-1))
     return alpha.reshape(len(freqs), l, b)
 
 

@@ -91,14 +91,18 @@ def _cumsum_sublanes(x, n_rows: int):
 
 
 def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
-                  small_dtau: float = 0.03):
+                  small_dtau: float = 0.03, want_trans: bool = False):
     lm1 = l - 1
     # Pad the layer axis to a sublane multiple so the scan's roll operands
     # stay tile-aligned; padded rows carry zero opacity and drop out.
     lpad = -(-lm1 // 8) * 8
 
     def kernel(f_ref, alpha_ref, ds_ref, t_ref,
-               tb_ref, tau_ref, tmr_ref, b_scr, amid_scr):
+               tb_ref, tau_ref, tmr_ref, *rest):
+        if want_trans:
+            trans_ref, b_scr, amid_scr = rest
+        else:
+            b_scr, amid_scr = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
@@ -130,6 +134,13 @@ def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
                 [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
             e_ctau_v = e_ctau[:lm1]
             d = d[:lm1]
+            if want_trans:
+                # Ground -> level transmittance profile, streamed straight
+                # from the in-VMEM scan (no XLA fallback; the (E, F, L, B)
+                # write is the inherent output traffic and nothing more).
+                trans_ref[0, fi, 0:1] = jnp.ones(
+                    (1, e_ctau.shape[-1]), jnp.float32)
+                trans_ref[0, fi, 1:l] = e_ctau_v
 
             # Linear-in-tau source integration without a second exponential:
             #   atm = sum_l B_bot*delta + (B_top - B_bot)*g_top*trans_below
@@ -162,7 +173,7 @@ def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
 
 
 def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
-                      small_dtau: float = 0.03):
+                      small_dtau: float = 0.03, want_trans: bool = False):
     """Kernel variant with the refraction-bent slant-path geometry fused in.
 
     The XLA geometry pass (ops/geometry.slant_path_lengths_lb stacked over
@@ -177,8 +188,11 @@ def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
     lpad = -(-lm1 // 8) * 8
 
     def kernel(f_ref, cos_ref, alpha_ref, z_ref, n_ref, t_ref,
-               tb_ref, tau_ref, tmr_ref,
-               b_scr, amid_scr, r_scr, nlay_scr, dzr_scr):
+               tb_ref, tau_ref, tmr_ref, *rest):
+        if want_trans:
+            trans_ref, b_scr, amid_scr, r_scr, nlay_scr, dzr_scr = rest
+        else:
+            b_scr, amid_scr, r_scr, nlay_scr, dzr_scr = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
@@ -224,6 +238,10 @@ def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
                 [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
             e_ctau_v = e_ctau[:lm1]
             d = d[:lm1]
+            if want_trans:
+                trans_ref[0, fi, 0:1] = jnp.ones(
+                    (1, e_ctau.shape[-1]), jnp.float32)
+                trans_ref[0, fi, 1:l] = e_ctau_v
             small = d < small_dtau
             dd = jnp.where(small, 1.0, d)
             delta_exact = trans_below - e_ctau_v
@@ -249,9 +267,11 @@ def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("freqs", "elevations",
-                                             "alpha_is_mid"))
+                                             "alpha_is_mid",
+                                             "want_trans_level"))
 def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
-                     t_k, alpha_is_mid: bool = False):
+                     t_k, alpha_is_mid: bool = False,
+                     want_trans_level: bool = False):
     """Geometry + multi-elevation downwelling RTE in ONE fused kernel.
 
     Args:
@@ -262,9 +282,13 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
       z_m:    (L, B) level heights above MSL [m].
       n_refr: (L, B) refractive index (ops/geometry.refractive_index).
       t_k:    (L, B) level temperatures [K].
+      want_trans_level: also stream the (E, F, L, B) ground-to-level
+        transmittance profile out of the in-VMEM scan (its HBM write is
+        the only extra cost — no XLA fallback).
       B must be a multiple of 128.
 
-    Returns dict with tb / tau_total / t_mr, each (E, F, B).
+    Returns dict with tb / tau_total / t_mr (E, F, B) and, when requested,
+    trans_level (E, F, L, B).
     """
     f_arr = jnp.asarray(freqs, jnp.float32)
     cos_arr = jnp.cos(jnp.deg2rad(jnp.asarray(elevations, jnp.float32)))
@@ -277,13 +301,21 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
     lpad = -(-lm1 // 8) * 8
 
     grid = (b // LANES, e)
-    kernel = _build_geo_kernel(nf, l, alpha_is_mid)
+    kernel = _build_geo_kernel(nf, l, alpha_is_mid,
+                               want_trans=want_trans_level)
     lvl_spec = pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((e, nf, b), jnp.float32)
-    tb, tau, tmr = pl.pallas_call(
+    out_specs = [out_spec] * 3
+    out_shapes = [out_shape] * 3
+    if want_trans_level:
+        out_specs.append(pl.BlockSpec((1, nf, l, LANES),
+                                      lambda i, ei: (ei, 0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((e, nf, l, b), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -295,8 +327,8 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
                          memory_space=pltpu.VMEM),
             lvl_spec, lvl_spec, lvl_spec,
         ],
-        out_specs=[out_spec] * 3,
-        out_shape=[out_shape] * 3,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((l, LANES), jnp.float32),
@@ -305,12 +337,17 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
         interpret=(jax.default_backend() != "tpu"),
     )(f_arr, cos_arr, alpha.astype(jnp.float32), z_m.astype(jnp.float32),
       n_refr.astype(jnp.float32), t_k.astype(jnp.float32))
-    return {"tb": tb, "tau_total": tau, "t_mr": tmr}
+    out = {"tb": outs[0], "tau_total": outs[1], "t_mr": outs[2]}
+    if want_trans_level:
+        out["trans_level"] = outs[3]
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("freqs", "alpha_is_mid"))
+@functools.partial(jax.jit, static_argnames=("freqs", "alpha_is_mid",
+                                             "want_trans_level"))
 def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
-                         alpha_is_mid: bool = False):
+                         alpha_is_mid: bool = False,
+                         want_trans_level: bool = False):
     """Fused multi-elevation downwelling RTE in the lanes-batch layout.
 
     Args:
@@ -320,12 +357,12 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
         fast predictor-regression operator's native output).
       ds_km: (E, L-1, B) slant path lengths [km].
       t_k:   (L, B) level temperatures [K].
+      want_trans_level: also stream the (E, F, L, B) ground-to-level
+        transmittance profile from the in-VMEM scan.
       B must be a multiple of 128.
 
-    Returns dict with tb / tau_total / t_mr, each (E, F, B).  (The full
-    (E, F, L, B) transmittance profile intentionally has no fused path —
-    materializing it is pure HBM traffic, so callers that need it take the
-    XLA route.)
+    Returns dict with tb / tau_total / t_mr (E, F, B) and, when requested,
+    trans_level (E, F, L, B).
     """
     f_arr = jnp.asarray(freqs, jnp.float32)
     nf, l_in, b = alpha.shape
@@ -338,11 +375,19 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
     lpad = -(-lm1 // 8) * 8
 
     grid = (b // LANES, e)
-    kernel = _build_kernel(nf, l, alpha_is_mid)
+    kernel = _build_kernel(nf, l, alpha_is_mid,
+                           want_trans=want_trans_level)
     out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((e, nf, b), jnp.float32)
-    tb, tau, tmr = pl.pallas_call(
+    out_specs = [out_spec] * 3
+    out_shapes = [out_shape] * 3
+    if want_trans_level:
+        out_specs.append(pl.BlockSpec((1, nf, l, LANES),
+                                      lambda i, ei: (ei, 0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((e, nf, l, b), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -355,11 +400,14 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
             pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 3,
-        out_shape=[out_shape] * 3,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
     )(f_arr, alpha.astype(jnp.float32), ds_km.astype(jnp.float32),
       t_k.astype(jnp.float32))
-    return {"tb": tb, "tau_total": tau, "t_mr": tmr}
+    out = {"tb": outs[0], "tau_total": outs[1], "t_mr": outs[2]}
+    if want_trans_level:
+        out["trans_level"] = outs[3]
+    return out

@@ -98,23 +98,37 @@ def forward_stage(ds: Dataset,
         profiles, mask = _screen(raw)
         if not mask.any():
             continue
+        # One host->device upload per crop; per-chunk slicing happens on
+        # device.  Uploading per chunk costs a tunnel/PCIe round trip each
+        # time and was the dominant term of the production path (~MBs per
+        # chunk against a sub-ms kernel).
+        dev = {k: jax.device_put(jnp.asarray(v))
+               for k, v in profiles.items()}
         for start in range(0, n_time, batch_size):
             sl = slice(start, min(start + batch_size, n_time))
-            chunk = {k: jnp.asarray(v[sl]) for k, v in profiles.items()}
+            n_real = sl.stop - sl.start
+            if n_real < batch_size and n_time > batch_size:
+                # Slide the window back so the chunk keeps the compiled
+                # shape (a ragged tail would trigger a second multi-minute
+                # TPU compile); the overlap rows are recomputed and simply
+                # overwritten with identical values.
+                sl = slice(n_time - batch_size, n_time)
+                n_real = batch_size
+            chunk = {k: v[sl] for k, v in dev.items()}
             bmask = mask[sl]
             for m in models:
                 cfg = lbl_mod.LBLConfig(model=m, use_pallas=fused,
                                         outputs=("tb",))
                 out = lbl_mod.forward_batch(chunk, cfg)
-                tb = np.array(out["tb"])            # (B, E, F)
+                tb = np.array(out["tb"])[:n_real]   # (B, E, F)
                 tb[~bmask] = np.nan
                 lbl_out[m][sl, ..., crop] = np.transpose(tb, (0, 2, 1))
             if fast_params is not None:
                 fout = fast_mod.fast_forward_batch(
                     fast_params, chunk, fast_mod.FastConfig(use_lanes=fused))
-                tb = np.array(fout["tb"])
-                tt = np.exp(-np.asarray(fout["tau_total"]))
-                lt = np.array(fout["trans_level"])  # (B, E, F, L-1+1)
+                tb = np.array(fout["tb"])[:n_real]
+                tt = np.exp(-np.asarray(fout["tau_total"]))[:n_real]
+                lt = np.array(fout["trans_level"])[:n_real]
                 tb[~bmask] = np.nan
                 tt[~bmask] = np.nan
                 lt[~bmask] = np.nan
@@ -126,7 +140,7 @@ def forward_stage(ds: Dataset,
                 kout = jac_mod.kmatrix_batch_fast(chunk, kcfg,
                                                   wrt=("t", "rho", "lwc"))
                 for name in jac:
-                    kk = np.array(kout[name])        # (B, E, F, L)
+                    kk = np.array(kout[name])[:n_real]   # (B, E, F, L)
                     kk[~bmask] = np.nan
                     jac[name][sl, ..., crop] = np.transpose(kk, (0, 2, 1, 3))
 

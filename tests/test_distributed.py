@@ -1,0 +1,89 @@
+"""Two-process `jax.distributed` bring-up smoke test (CPU, localhost).
+
+The multi-host path (`parallel.mesh.initialize_distributed` +
+cross-process collectives) previously existed but was never executed; this
+test launches two real OS processes, forms a 2-process JAX cluster over a
+localhost coordinator, builds the framework's (data, spectral) mesh over
+the *global* device set, and runs a psum-reduced computation — the same
+bring-up a multi-host TPU pod slice performs (SURVEY.md section 2.3 item 3).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid = sys.argv[1], int(sys.argv[2])
+
+    from mwr_fast_forward_operators_and_lbls_tpu.parallel import mesh as m
+    m.initialize_distributed(f"127.0.0.1:{port}", num_processes=2,
+                             process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4          # 2 local x 2 processes
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = m.make_mesh()                    # (data=4, spectral=1) global
+    assert mesh.devices.size == 4
+
+    # Each process contributes its local shard of a global (4, 8) batch;
+    # a jitted global sum must see every shard (the collective crosses the
+    # process boundary).
+    sharding = NamedSharding(mesh, P("data", None))
+    local = np.full((2, 8), float(pid + 1), np.float32)
+    arrs = [jax.device_put(local[i:i + 1], d)
+            for i, d in enumerate(mesh.local_devices)]
+    global_x = jax.make_array_from_single_device_arrays(
+        (4, 8), sharding, arrs)
+
+    total = jax.jit(lambda x: jnp.sum(x),
+                    out_shardings=NamedSharding(mesh, P()))(global_x)
+    want = 8 * 2 * (1.0 + 2.0)              # both processes' shards
+    assert abs(float(total) - want) < 1e-6, (float(total), want)
+    print(f"proc {pid} OK total={float(total)}")
+""")
+
+
+def test_two_process_distributed_psum(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [subprocess.Popen([sys.executable, str(script), str(port),
+                               str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=150)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out, out

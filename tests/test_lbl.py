@@ -163,3 +163,21 @@ def test_fp32_pipeline_within_baseline_tolerance(demo_batch):
         tb64 = np.asarray(lbl.forward_batch(demo_batch, cfg64)["tb"])
     err = np.abs(tb32 - tb64.astype(np.float64)).max()
     assert err < 0.025, f"fp32 pipeline drifts {err:.4f} K from float64"
+
+
+def test_pallas_lanes_path_include_o3_matches_xla():
+    """The optional ozone term (ARMS-gb parity, ARMS_gb_processing.py:94-99)
+    also runs the fused kernel — the last include_o3 XLA fallback is gone."""
+    batch = lbl.demo_batch(2, n_levels=64)
+    cfg_x = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 4.2),
+                          outputs=("tb",), include_o3=True)
+    cfg_p = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 4.2),
+                          outputs=("tb",), include_o3=True, use_pallas=True)
+    ref = np.asarray(lbl.forward_batch(batch, cfg_x)["tb"])
+    got = np.asarray(lbl.forward_batch(batch, cfg_p)["tb"])
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+    # and O3 must actually change the TB vs the no-O3 configuration
+    no_o3 = np.asarray(lbl.forward_batch(
+        batch, lbl.LBLConfig(model="R24", elevations_deg=(90.0, 4.2),
+                             outputs=("tb",), use_pallas=True))["tb"])
+    assert np.abs(got - no_o3).max() > 1e-5
