@@ -152,6 +152,32 @@ def bench_fast_serving():
     return per_call
 
 
+def bench_retrieval():
+    """Config 5 second half: Gauss-Newton OEM retrieval on the fast
+    operator's K-matrix (models/retrieval.py), batched."""
+    from mwr_fast_forward_operators_and_lbls_tpu.models import retrieval
+
+    batch, n_lev = 64, 180
+    profiles = lbl.demo_batch(batch, n_levels=n_lev)
+    cfg = fast.FastConfig()
+    params = fast.fit_closed_form(
+        {k: v[:32] for k, v in profiles.items()}, cfg)
+    tb_obs = fast.fast_forward_batch(params, profiles, fast.FastConfig(
+        outputs=("tb",)))["tb"]
+    ocfg = retrieval.OEMConfig(n_iter=3)
+    z, p = profiles["z"], profiles["p"]
+    t_prior = profiles["t"] + 1.5
+    rho_prior = profiles["rho"] * 0.8
+
+    def run(tb):
+        out = retrieval.retrieve_batch(params, tb, z, p, t_prior,
+                                       rho_prior, ocfg)
+        return {"t": out["t"], "rho": out["rho"]}
+
+    per_call = profiling.device_time(run, (tb_obs,), iters=4, trials=3)
+    return per_call / batch
+
+
 def bench_forward_stage(headline_rate):
     """Pipeline throughput (host loop + NaN screening + layout restores)
     as a fraction of the raw kernel headline — VERDICT r1 item 5."""
@@ -192,9 +218,24 @@ def bench_forward_stage(headline_rate):
     t0 = time.perf_counter()
     forward_stage(ds, models=("R24",), batch_size=256, fused=True)
     wall = time.perf_counter() - t0
+
+    # Host->device upload cost of the same profile payload, measured
+    # separately: over the test harness's network tunnel this is the
+    # dominant term and is a property of the link, not the pipeline.
+    from mwr_fast_forward_operators_and_lbls_tpu.data import (
+        preprocess as _pp)
+    raw = {k: np.ascontiguousarray(v)
+           for k, v in _pp.profiles_for_forward(ds, crop=0).items()}
+    t0 = time.perf_counter()
+    for _ in range(2):                  # one upload per crop
+        jax.block_until_ready(jax.device_put(
+            {k: jnp.asarray(v + 0.0) for k, v in raw.items()}))
+    upload = time.perf_counter() - t0
+
     spectra = n_time * 2 * 10           # time x crop x elevation
     rate = spectra / wall
-    return rate / headline_rate, rate
+    rate_design = spectra / max(wall - upload, 1e-9)
+    return rate / headline_rate, rate, rate_design / headline_rate
 
 
 def main():
@@ -217,9 +258,13 @@ def main():
         extra["distill_step_ms"] = round(bench_distill_step() * 1e3, 3)
         extra["fast_serving_ms_per_batch1024"] = round(
             bench_fast_serving() * 1e3, 3)
-        frac, stage_rate = bench_forward_stage(rate)
+        extra["oem_retrieval_ms_per_profile"] = round(
+            bench_retrieval() * 1e3, 3)
+        frac, stage_rate, frac_design = bench_forward_stage(rate)
         extra["forward_stage_spectra_per_s"] = round(stage_rate, 1)
-        extra["forward_stage_frac_of_kernel"] = round(frac, 3)
+        extra["forward_stage_frac_of_kernel"] = round(frac, 4)
+        # fraction with the (link-dependent) host->device upload excluded
+        extra["forward_stage_frac_excl_upload"] = round(frac_design, 3)
         result["extra"] = extra
     print(json.dumps(result))
 

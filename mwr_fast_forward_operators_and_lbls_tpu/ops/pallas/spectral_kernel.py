@@ -32,9 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...constants.h2o_lines import H2O_MODELS
 from ...constants.o2_lines import O2_MODELS
+from ..absorption.h2o import _GL_W, _GL_X
 
 ROWS = 8      # points per grid step (sublanes)
 FLANES = 128  # frequencies per grid step (lanes)
+
+
+def _sd_flags(h2o):
+    """Static per-line flags: which H2O lines carry a speed-dependent
+    width (qSD shape, R19SD/R20SD)."""
+    return ((np.asarray(h2o.w2) != 0.0)
+            | (np.asarray(h2o.ws2) != 0.0)).tolist()
 
 
 def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
@@ -59,6 +67,7 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
     ti2 = jnp.exp(2.5 * log_ti)
 
     rows = []
+    sd_flags = _sd_flags(h2o)
     for li in range(np.asarray(h2o.fl).size):
         width = float(np.asarray(h2o.w3)[li]) * pda \
             * jnp.exp(float(np.asarray(h2o.x)[li]) * log_ti) \
@@ -68,6 +77,14 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
             * jnp.exp(float(np.asarray(h2o.b2)[li]) * (1.0 - ti))
         rows.append(width)
         rows.append(s)
+        if sd_flags[li]:
+            # quadratic speed dependence of the width (qSD line shape,
+            # R19SD/R20SD) — one extra row only for the SD lines.
+            rows.append(
+                float(np.asarray(h2o.w2)[li]) * pda
+                * jnp.exp(float(np.asarray(h2o.x)[li]) * log_ti)
+                + float(np.asarray(h2o.ws2)[li]) * pvap
+                * jnp.exp(float(np.asarray(h2o.xs)[li]) * log_ti))
 
     b = jnp.exp(o2.x * log_ti)
     den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
@@ -123,9 +140,14 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
     h2o_fl = np.asarray(h2o.fl, np.float64)
     o2_f = np.asarray(o2.f, np.float64)
     nh, no = h2o_fl.size, o2_f.size
+    sd_flags = _sd_flags(h2o)
+    # per-line base offset into the row table (2 rows + 1 gamma2 row for
+    # speed-dependent lines)
+    h2o_base = np.concatenate(
+        [[0], np.cumsum([3 if sd else 2 for sd in sd_flags])]).astype(int)
     second = o2.has_second_order
     o2_rows = 5 if second else 3
-    s_base = 2 * nh + o2_rows * no
+    s_base = int(h2o_base[-1]) + o2_rows * no
     sidx = {n: s_base + i for i, n in enumerate(scalar_names)}
 
     def kernel(f_ref, rows_ref, out_ref):
@@ -138,8 +160,9 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
         for li in range(nh):
             fl = float(h2o_fl[li])
-            width = row(2 * li)
-            s = row(2 * li + 1)
+            base = int(h2o_base[li])
+            width = row(base)
+            s = row(base + 1)
             wsq = width * width
             sw = s * width
             sbase = sw / (cut2 + wsq)
@@ -147,9 +170,23 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
             df2 = f + fl
             m1 = (jnp.abs(df1) < cut).astype(jnp.float32)
             m2 = (jnp.abs(df2) < cut).astype(jnp.float32)
-            den1 = wsq + df1 * df1
+            if sd_flags[li]:
+                # qSD resonant term: Maxwell-Boltzmann speed average via the
+                # 16-node generalized Gauss-Laguerre rule (same nodes as the
+                # channel kernel / XLA path); mirror + cutoff base stay
+                # Lorentzian (gamma2 negligible hundreds of GHz off line).
+                gamma2 = row(base + 2)
+                c0 = width - 1.5 * gamma2
+                d1sq = df1 * df1
+                qsum = jnp.zeros((ROWS, FLANES), jnp.float32)
+                for xi, wi in zip(_GL_X, _GL_W):
+                    cr = c0 + gamma2 * float(xi)
+                    qsum = qsum + (float(wi) * cr) / (cr * cr + d1sq)
+                res1 = s * qsum - sbase
+            else:
+                res1 = sw / (wsq + df1 * df1) - sbase
             den2 = wsq + df2 * df2
-            res = m1 * (sw / den1 - sbase) + m2 * (sw / den2 - sbase)
+            res = m1 * res1 + m2 * (sw / den2 - sbase)
             acc = acc + (1.0 / (fl * fl)) * res
         h2o_alpha = (row(sidx["h2o_scale"]) * f2) * acc \
             + row(sidx["con_b"]) * f2
@@ -158,7 +195,7 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
         for li in range(no):
             f0 = float(o2_f[li])
-            base = 2 * nh + o2_rows * li
+            base = int(h2o_base[-1]) + o2_rows * li
             df = row(base)
             strength = row(base + 1)
             yy = row(base + 2)

@@ -29,17 +29,11 @@ and commit the diff together with the physics change that motivated it.
 """
 
 import json
-import os
 import pathlib
 import sys
 
-os.environ.setdefault("JAX_ENABLE_X64", "1")
-
-import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", True)
-
-import numpy as np  # noqa: E402
+import jax
+import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -184,6 +178,11 @@ def make_tb_anchor() -> dict:
 
 
 def main():
+    # x64 is enabled here, NOT at import time: this module is imported by
+    # tests/test_golden.py for its constants, and flipping the global x64
+    # flag at import would poison every fp32 pallas trace later in the
+    # same process.
+    jax.config.update("jax_enable_x64", True)
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     assert jax.config.jax_enable_x64, "run with JAX_ENABLE_X64=1"
 
