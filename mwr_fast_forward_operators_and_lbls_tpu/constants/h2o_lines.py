@@ -201,6 +201,26 @@ H2O_MODELS = {
     "R19SD": R19SD, "R20": R20, "R20SD": R20SD, "R24": R24,
 }
 
+# Machine-readable provenance, mirroring constants/o2_lines.py
+# MIXING_PROVENANCE: every value is a transcription of a published source or
+# an explicit carry of the nearest fully-published release — never a
+# synthesized/interpolated number.  Closure path: tools/fit_tables.py.
+H2O_PROVENANCE = {
+    "R98": "transcribed (Rosenkranz 1998 abh2o.f 15-line table + continuum)",
+    "R03": "transcribed 22-GHz Tretyakov-2003 width + continuum retune; "
+           "rest carried-at-R98",
+    "R16": "transcribed Tretyakov-2016 22/183-GHz line deltas; "
+           "continuum carried-at-R98",
+    "R17": "transcribed Tretyakov-2016 lines + Turner-2009-refit continuum",
+    "R19": "transcribed Koshelev-2018 22-GHz widths on the R17 continuum",
+    "R19SD": "R19 + transcribed Koshelev 2018/2021 speed-dependence ratios",
+    "R20": "transcribed Koshelev-2018 widths + Koshelev-2021 foreign "
+           "continuum",
+    "R20SD": "R20 + transcribed speed-dependence ratios",
+    "R24": "transcribed 2024 continuum refit; sub-0.1 % HITRAN-2020 "
+           "intensity retunes not publicly tabulated are carried-at-R98",
+}
+
 # The reference's old zenith pipeline evaluates exactly these nine, in this
 # CSV slice order (old_merge2nc.py:417-435).
 ZENITH_SWEEP_MODELS = ("R17", "R03", "R16", "R19", "R98",

@@ -117,21 +117,113 @@ def test_fp32_tb_within_baseline_budget_of_anchor():
 # 2. External literature checkpoints
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("model", ["R98", "R17", "R20", "R24"])
-def test_literature_checkpoints(model):
-    lits = _load("literature.json")["checkpoints"]
-    for lit in lits:
-        a = float(total_absorption(lit["f_ghz"], lit["p_hpa"], lit["t_k"],
-                                   lit["rho_gm3"], model=model))
-        if lit.get("dry_subtracted"):
-            a -= float(total_absorption(lit["f_ghz"], lit["p_hpa"],
-                                        lit["t_k"], 0.0, model=model))
-        db = a * NP_TO_DB
-        lo = lit["alpha_db_km"] * (1 - lit["rel_tol"])
-        hi = lit["alpha_db_km"] * (1 + lit["rel_tol"])
-        assert lo <= db <= hi, (
-            f"{model} vs external {lit['name']}: {db:.4f} dB/km outside "
-            f"[{lo:.4f}, {hi:.4f}] ({lit['source']})")
+@pytest.mark.parametrize("model", ZENITH_SWEEP_MODELS)
+def test_literature_checkpoints_v2(model):
+    """All nine releases against their applicable external checkpoints:
+    absolute-scale envelopes, per-release published halfwidths at 2 %, and
+    physically-pinned zenith-TB windows (anchors.py; VERDICT r2 Next #2)."""
+    from mwr_fast_forward_operators_and_lbls_tpu import anchors
+
+    # The committed literature.json and the in-source checkpoint table must
+    # agree (the JSON is the reviewable artifact; the table is what runs).
+    frozen = _load("literature.json")
+    assert frozen["version"] == 2
+    assert [c["name"] for c in frozen["checkpoints"]] == [
+        c["name"] for c in anchors.CHECKPOINTS]
+
+    rows = anchors.run_checkpoints(model)
+    assert len(rows) >= 8  # envelopes + >=2 halfwidths + tb windows
+    bad = [r for r in rows if not r["ok"]]
+    assert not bad, f"{model} violates external anchors: {bad}"
+
+
+def test_inter_release_vband_tb_deltas_pinned():
+    """Pin the inter-release V-band TB deltas — the reference paper's actual
+    subject (PyRTlib_processing.py:121-151 runs R98/R17/R20/R24 precisely to
+    measure these).  Signs + magnitude windows at 52-58 GHz, zenith and 4.2
+    degrees, on the deterministic midlatitude profile (VERDICT r2 Next #1).
+    Windows are wide enough for fp32 (the default test precision) but tight
+    enough that a wrong-signed or order-off spectroscopy edit fails."""
+    from mwr_fast_forward_operators_and_lbls_tpu.anchors import (
+        standard_profiles)
+    from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
+
+    profs = standard_profiles()
+    one = {k: np.asarray(v[:1]) for k, v in profs.items()}
+    vband = (51.26, 52.28, 53.86, 54.94, 56.66, 57.3, 58.0)
+    tb = {}
+    for m in ("R98", "R17", "R19", "R20", "R24"):
+        cfg = lbl.LBLConfig(model=m, freqs_ghz=vband,
+                            elevations_deg=(90.0, 4.2), outputs=("tb",))
+        tb[m] = np.asarray(lbl.forward_batch(one, cfg)["tb"])[0]
+
+    zen = {k: v[0] for k, v in tb.items()}
+    low = {k: v[1] for k, v in tb.items()}
+
+    # R98 -> R17: Tretyakov-2005 widths (+~3 % on the band lines) raise the
+    # semi-transparent wing opacity -> warmer zenith TB at 51.26/52.28 GHz
+    # by ~0.5-2 K; near-zero in the opaque core (documented inter-release
+    # scale, e.g. Cimini et al. 2018 V-band model-uncertainty analysis).
+    d = zen["R17"] - zen["R98"]
+    assert 0.5 < d[0] < 2.5, d[0]
+    assert 0.4 < d[1] < 2.2, d[1]
+    assert abs(d[5]) < 0.15 and abs(d[6]) < 0.15  # 57.3 / 58.0 opaque
+
+    # R17 -> R19: onset of SECOND-order mixing (Makarov et al. 2011): the
+    # band shape redistributes — wing up at 51.26, down at 52.28/53.86.
+    d = zen["R19"] - zen["R17"]
+    assert 0.2 < d[0] < 1.8, d[0]
+    assert -1.6 < d[1] < -0.15, d[1]
+    assert -1.8 < d[2] < -0.3, d[2]
+
+    # R19 -> R20: O2 mixing is carried identical pending external closure of
+    # the Makarov-2020 ECS refit (constants/o2_lines.py MIXING_PROVENANCE),
+    # so only the documented H2O continuum deltas remain: |dTB| < 0.15 K.
+    # A real (accidental) mixing-table change is ~0.5+ K and fails here.
+    d = zen["R20"] - zen["R19"]
+    assert np.abs(d).max() < 0.15, d
+
+    # R20 -> R24: Koshelev-2021 118-GHz width + 2024 continuum refit cool
+    # the 51.26-GHz wing slightly.
+    d = zen["R24"] - zen["R20"]
+    assert -0.5 < d[0] < -0.04, d[0]
+    assert np.abs(d[3:]).max() < 0.1, d
+
+    # Slant saturation: at 4.2 degrees every V-band channel is near-opaque,
+    # so ALL inter-release deltas collapse below ~0.2 K — the elevation-
+    # dependence the reference's 10-angle scan design exploits.
+    for a, b in (("R98", "R17"), ("R17", "R19"), ("R20", "R24")):
+        dd = np.abs(low[b] - low[a])
+        assert dd.max() < 0.2, (a, b, dd)
+    assert abs((low["R17"] - low["R98"])[0]) < abs(
+        (zen["R17"] - zen["R98"])[0])
+
+
+def test_perturbed_width_fails_anchors():
+    """Falsifiability meta-test: a +3 % width perturbation (the error scale
+    the <0.05 K TB budget cares about) must fail the halfwidth anchors."""
+    from dataclasses import replace
+
+    from mwr_fast_forward_operators_and_lbls_tpu import anchors
+    from mwr_fast_forward_operators_and_lbls_tpu.constants.h2o_lines import (
+        H2O_MODELS)
+    from mwr_fast_forward_operators_and_lbls_tpu.constants.o2_lines import (
+        O2_MODELS)
+
+    for model in ("R98", "R24"):
+        hm = H2O_MODELS[model]
+        hp = replace(hm, w3=hm.w3 * 1.03, ws=hm.ws * 1.03)
+        rows = anchors.run_checkpoints(model, kinds=("halfwidth",),
+                                       h2o_model=hp)
+        h2o_rows = [r for r in rows if r["name"].startswith("h2o")]
+        assert h2o_rows and all(not r["ok"] for r in h2o_rows), (model, rows)
+
+        om = O2_MODELS[model]
+        op = replace(om, w300=om.w300 * 1.03)
+        rows = anchors.run_checkpoints(model, kinds=("halfwidth",),
+                                       o2_model=op)
+        o2_rows = [r for r in rows if r["name"].startswith("o2")]
+        assert o2_rows and all(not r["ok"] for r in o2_rows), (model, rows)
 
 
 # ---------------------------------------------------------------------------

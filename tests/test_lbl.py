@@ -114,6 +114,7 @@ def test_pallas_lanes_path_matches_xla(demo_batch, small_cfg):
 
 @pytest.mark.parametrize("model", ["R98", "R03", "R16", "R17", "R19",
                                    "R19SD", "R20", "R20SD", "R24"])
+@pytest.mark.slow
 def test_pallas_lanes_path_matches_xla_all_nine(model):
     """Every member of the nine-model sweep (old_merge2nc.py:417-435) —
     including the qSD variants and the second-order-mixing releases — runs
@@ -128,6 +129,7 @@ def test_pallas_lanes_path_matches_xla_all_nine(model):
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pallas_lanes_path_pads_odd_batch(small_cfg):
     """Batch sizes that are not lane-multiples are padded internally and
     sliced back."""
@@ -165,6 +167,7 @@ def test_fp32_pipeline_within_baseline_tolerance(demo_batch):
     assert err < 0.025, f"fp32 pipeline drifts {err:.4f} K from float64"
 
 
+@pytest.mark.slow
 def test_pallas_lanes_path_include_o3_matches_xla():
     """The optional ozone term (ARMS-gb parity, ARMS_gb_processing.py:94-99)
     also runs the fused kernel — the last include_o3 XLA fallback is gone."""

@@ -13,11 +13,23 @@ Np/km), it fits multiplicative retune factors
     h2o_cs    self continuum coefficient
     o2_s      oxygen line intensities
     o2_w      oxygen widths
+    o2_y      oxygen first-order mixing (y0)
+    o2_y1     oxygen mixing temperature dependence (y1)
+    o2_g      oxygen second-order intensity coupling (g0)
+    o2_g1     oxygen coupling temperature dependence (g1)
+    o2_dnu    oxygen second-order band shift (dnu0 and dnu1)
 
 by Adam on the mean squared *log*-absorption error (log-space so window and
 line-center points weigh equally).  Output is a JSON of fitted factors plus
 before/after residuals; apply them by scaling the model dataclass (see
 `apply_scales`) or by folding them into the tables.
+
+The o2_y*/o2_g*/o2_dnu factors exist specifically to close the R20/R24
+Makarov-2020 ECS mixing refit, which constants/o2_lines.py carries at the
+2011-fit values pending an external golden (see MIXING_PROVENANCE there).
+Constraining the temperature-dependence factors (o2_y1/o2_g1 — where the
+2020 refit differs most from 2011) requires golden conditions at two or
+more temperatures; with single-temperature goldens leave them at 1.
 
 Usage:
     python tools/fit_tables.py --golden external.json --model R24 \
@@ -45,7 +57,8 @@ from mwr_fast_forward_operators_and_lbls_tpu.constants.o2_lines import (
 from mwr_fast_forward_operators_and_lbls_tpu.ops.absorption import (
     h2o_absorption, n2_absorption, o2_absorption)
 
-SCALE_NAMES = ("h2o_s1", "h2o_w3", "h2o_cf", "h2o_cs", "o2_s", "o2_w")
+SCALE_NAMES = ("h2o_s1", "h2o_w3", "h2o_cf", "h2o_cs", "o2_s", "o2_w",
+               "o2_y", "o2_y1", "o2_g", "o2_g1", "o2_dnu")
 
 
 def apply_scales(model_name: str, scales: dict):
@@ -64,6 +77,12 @@ def apply_scales(model_name: str, scales: dict):
         o,
         s300=o.s300 * scales.get("o2_s", 1.0),
         w300=o.w300 * scales.get("o2_w", 1.0),
+        y0=o.y0 * scales.get("o2_y", 1.0),
+        y1=o.y1 * scales.get("o2_y1", 1.0),
+        g0=o.g0 * scales.get("o2_g", 1.0),
+        g1=o.g1 * scales.get("o2_g1", 1.0),
+        dnu0=o.dnu0 * scales.get("o2_dnu", 1.0),
+        dnu1=o.dnu1 * scales.get("o2_dnu", 1.0),
     )
     return h, o
 

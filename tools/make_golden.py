@@ -14,11 +14,12 @@ Two families of files come out of this tool:
   and cross-checked at generation time against the external literature
   checkpoints below before being written.
 
-* ``literature.json`` — genuinely external checkpoints transcribed from the
-  public record (ITU-R P.676 attenuation curves, Rosenkranz 1998 review
-  figures, Liebe MPM comparisons), each with the honest tolerance of the
-  source.  These bound the absolute scale of the spectroscopy; the frozen
-  anchors bound its stability.
+* ``literature.json`` — the v2 external checkpoint set (see
+  mwr_fast_forward_operators_and_lbls_tpu/anchors.py): absolute-scale
+  envelopes (ITU-R P.676 curves, Rosenkranz 1998 figures) PLUS per-release
+  published-width halfwidth checks at 2.5 % and physically-pinned zenith-TB
+  windows.  All nine releases are cross-checked against their applicable
+  checkpoints before any golden value is frozen.
 
 Regenerate (after an intentional physics change) with:
 
@@ -37,6 +38,9 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from mwr_fast_forward_operators_and_lbls_tpu import anchors  # noqa: E402
+from mwr_fast_forward_operators_and_lbls_tpu.anchors import (  # noqa: E402
+    NP_TO_DB, standard_profiles)
 from mwr_fast_forward_operators_and_lbls_tpu.constants.h2o_lines import (  # noqa: E402
     ZENITH_SWEEP_MODELS)
 from mwr_fast_forward_operators_and_lbls_tpu.ops.absorption import (  # noqa: E402
@@ -61,92 +65,21 @@ CONDITIONS = [
     (50.0, 215.0, 1e-5),
 ]
 
-# External literature checkpoints.  Every entry names its public source and
-# carries the tolerance that source honestly supports (figure-reading and
-# release-to-release spread included).  alpha in dB/km.
-LITERATURE = [
-    dict(name="dry_60GHz_sea_level",
-         f_ghz=60.0, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=15.0, rel_tol=0.15,
-         source="ITU-R P.676 Annex/figures & Rosenkranz (1975): sea-level "
-                "dry-air specific attenuation at 60 GHz ~ 14-16 dB/km"),
-    dict(name="dry_118GHz_line_center",
-         f_ghz=118.7503, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=1.9, rel_tol=0.35,
-         source="ITU-R P.676 dry-air curve: isolated 118.75-GHz O2 line "
-                "peak ~ 1.5-2.5 dB/km at sea level"),
-    dict(name="h2o_22GHz_7p5gm3",
-         f_ghz=22.235, p_hpa=1013.25, t_k=288.15, rho_gm3=7.5,
-         alpha_db_km=0.18, rel_tol=0.25, dry_subtracted=True,
-         source="ITU-R P.676 standard-atmosphere water-vapour curve "
-                "(7.5 g/m^3): ~0.19 dB/km total at the 22-GHz line, of "
-                "which ~0.19 is H2O"),
-    dict(name="h2o_183GHz_7p5gm3",
-         f_ghz=183.31, p_hpa=1013.25, t_k=288.15, rho_gm3=7.5,
-         alpha_db_km=30.0, rel_tol=0.5, dry_subtracted=True,
-         source="ITU-R P.676 water-vapour curve at 183.31 GHz, 7.5 g/m^3: "
-                "tens of dB/km (order anchor)"),
-    dict(name="window_31GHz_dry",
-         f_ghz=31.4, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=0.032, rel_tol=0.5,
-         source="ITU-R P.676 dry curve in the 31-GHz window: "
-                "~0.02-0.05 dB/km (O2 wing + N2 continuum)"),
-]
-
-NP_TO_DB = 4.342944819032518
-
-
 def check_literature(model: str = "R24") -> list:
-    """Evaluate the model at the literature checkpoints; raise if outside."""
-    rows = []
-    for lit in LITERATURE:
-        a = float(total_absorption(lit["f_ghz"], lit["p_hpa"], lit["t_k"],
-                                   lit["rho_gm3"], model=model))
-        if lit.get("dry_subtracted"):
-            a -= float(total_absorption(lit["f_ghz"], lit["p_hpa"],
-                                        lit["t_k"], 0.0, model=model))
-        db = a * NP_TO_DB
-        lo = lit["alpha_db_km"] * (1 - lit["rel_tol"])
-        hi = lit["alpha_db_km"] * (1 + lit["rel_tol"])
-        ok = lo <= db <= hi
-        rows.append((lit["name"], db, lo, hi, ok))
-        status = "ok " if ok else "FAIL"
-        print(f"  [{status}] {lit['name']:28s} {db:10.4f} dB/km "
-              f"(external: {lo:.4f}..{hi:.4f})")
-        if not ok:
-            raise SystemExit(
-                f"literature anchor {lit['name']} violated by {model}: "
-                f"{db:.4f} dB/km outside [{lo:.4f}, {hi:.4f}] — refusing to "
-                "freeze golden values from a model outside the external "
-                "envelope")
+    """Run the v2 anchor checkpoints for one release; raise if any fails."""
+    rows = anchors.run_checkpoints(model)
+    for r in rows:
+        status = "ok " if r["ok"] else "FAIL"
+        print(f"  [{status}] {model:6s} {r['name']:28s} {r['value']:12.5f} "
+              f"(external: {r['lo']:.5f}..{r['hi']:.5f})")
+    bad = [r for r in rows if not r["ok"]]
+    if bad:
+        raise SystemExit(
+            f"literature anchors violated by {model}: "
+            + ", ".join(r["name"] for r in bad)
+            + " — refusing to freeze golden values from a model outside "
+            "the external envelope")
     return rows
-
-
-def standard_profiles(n_levels: int = 180) -> dict:
-    """Three deterministic analytic profiles (no RNG): midlatitude-moist,
-    winter-dry, and tropical-humid.  Closed-form constructions so the golden
-    TB anchor is reproducible from this source text alone."""
-    z = np.linspace(0.0, 25_000.0, n_levels)
-    profs = {"z": [], "p": [], "t": [], "rho": [], "lwc": []}
-    for (t0, gamma, rh0, p0) in [(288.15, 6.5e-3, 0.70, 1013.25),
-                                 (263.15, 5.5e-3, 0.50, 1030.0),
-                                 (300.15, 6.0e-3, 0.80, 1008.0)]:
-        t = np.maximum(t0 - gamma * z, 216.65)
-        # hydrostatic pressure with the same piecewise-linear T
-        dz = np.diff(z)
-        tm = 0.5 * (t[1:] + t[:-1])
-        p = p0 * np.exp(-np.concatenate([[0.0],
-                                         np.cumsum(0.0341632 * dz / tm)]))
-        rh = rh0 * np.exp(-z / 8000.0)
-        es = 6.1078 * np.exp(17.08085 * (t - 273.15)
-                             / (234.175 + (t - 273.15)))
-        rho = 216.679 * rh * es / t
-        profs["z"].append(z)
-        profs["p"].append(p)
-        profs["t"].append(t)
-        profs["rho"].append(rho)
-        profs["lwc"].append(np.zeros_like(z))
-    return {k: np.stack(v) for k, v in profs.items()}
 
 
 def make_tb_anchor() -> dict:
@@ -186,12 +119,16 @@ def main():
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     assert jax.config.jax_enable_x64, "run with JAX_ENABLE_X64=1"
 
-    print("Cross-checking R24 against external literature checkpoints:")
-    check_literature("R24")
+    print("Cross-checking ALL releases against external checkpoints (v2):")
+    for model in ZENITH_SWEEP_MODELS:
+        check_literature(model)
 
     (GOLDEN_DIR / "literature.json").write_text(json.dumps(
-        {"note": "external checkpoints; see tools/make_golden.py provenance",
-         "np_to_db": NP_TO_DB, "checkpoints": LITERATURE}, indent=1))
+        {"note": "external checkpoint set v2; provenance and measurement "
+                 "method in mwr_fast_forward_operators_and_lbls_tpu/"
+                 "anchors.py",
+         "version": 2, "np_to_db": NP_TO_DB,
+         "checkpoints": anchors.CHECKPOINTS}, indent=1))
 
     f = np.asarray(FREQS_GHZ, np.float64)
     for model in ZENITH_SWEEP_MODELS:
