@@ -11,12 +11,16 @@ with the forward model and its exact autodiff K-matrix both running on-TPU.
 State vector: x = [T (L), ln rho (L)] on the fixed level grid — humidity in
 log space, the standard 1D-Var choice: positivity is structural (no clamping
 that would zero K-matrix columns) and the K/V-band response is closer to
-linear in ln(rho) along optically thick slant paths.  Each iteration
-  x_{k+1} = xa + (Sa^-1 + K^T Se^-1 K)^-1 K^T Se^-1 (y - F(x_k) + K (x_k - xa))
+linear in ln(rho) along optically thick slant paths.  Each iteration uses the
+measurement-space ("m-form") Gauss-Newton update, which never inverts the
+prior:
+  x_{k+1} = xa + Sa K^T (K Sa K^T + Se)^-1 (y - F(x_k) + K (x_k - xa))
 with K = dF/dx from `jax.jacrev` through the fast operator (features ->
-regression matmul -> slant geometry -> RTE).  The (2L x 2L) solve runs as
-fp32 Cholesky on device; iterations are a `lax.scan`, so the whole retrieval
-jits and vmaps over profile batches.
+regression matmul -> slant geometry -> RTE).  The (m x m) system
+(K Sa K^T + Se) is symmetric positive definite by construction, so it is
+solved by an on-device fp32 Cholesky factorization
+(`jax.scipy.linalg.cho_factor`/`cho_solve`); iterations are a `lax.scan`,
+so the whole retrieval jits and vmaps over profile batches.
 """
 
 from __future__ import annotations
@@ -94,20 +98,24 @@ def retrieve(params: dict, tb_obs, z_m, p_hpa, t_prior, rho_prior,
         l, config.sigma_t_k, config.corr_length_levels))
     sa = sa.at[l:, l:].set(_prior_covariance(
         l, config.sigma_lnrho, config.corr_length_levels))
-    sa_inv = jnp.linalg.inv(sa + 1e-4 * jnp.eye(2 * l, dtype=jnp.float32))
-    se_inv_diag = jnp.full((m,), 1.0 / config.obs_error_k**2, jnp.float32)
+    se_diag = jnp.full((m,), config.obs_error_k**2, jnp.float32)
 
     fwd = lambda x: _forward_tb(x, z_m, p_hpa, lwc, params, fcfg,
                                 config.rho_floor)
     jac = jax.jacrev(fwd)
 
+    def _m_form_solve(k, rhs):
+        """Cholesky-solve (K Sa K^T + Se) u = rhs; return Sa K^T u."""
+        sa_kt = sa @ k.T                             # (2L, m)
+        s = k @ sa_kt + jnp.diag(se_diag)            # (m, m), SPD
+        c, low = jax.scipy.linalg.cho_factor(s, lower=True)
+        return sa_kt, jax.scipy.linalg.cho_solve((c, low), rhs)
+
     def step(x, _):
         f = fwd(x)
         k = jac(x)                                   # (m, 2L)
-        kt_se = k.T * se_inv_diag[None, :]
-        lhs = sa_inv + kt_se @ k
-        rhs = kt_se @ (y - f + k @ (x - xa))
-        x_new = xa + jnp.linalg.solve(lhs, rhs)
+        sa_kt, u = _m_form_solve(k, y - f + k @ (x - xa))
+        x_new = xa + sa_kt @ u
         cost = jnp.mean((y - f) ** 2)
         return x_new, cost
 
@@ -115,10 +123,9 @@ def retrieve(params: dict, tb_obs, z_m, p_hpa, t_prior, rho_prior,
 
     f = fwd(x)
     k = jac(x)
-    kt_se = k.T * se_inv_diag[None, :]
-    # averaging kernel A = (Sa^-1 + K^T Se^-1 K)^-1 K^T Se^-1 K
-    gain = jnp.linalg.solve(sa_inv + kt_se @ k, kt_se @ k)
-    dofs = jnp.trace(gain)
+    # averaging kernel A = Sa K^T (K Sa K^T + Se)^-1 K; dofs = tr(A)
+    sa_kt, u = _m_form_solve(k, k)                   # u: (m, 2L)
+    dofs = jnp.trace(sa_kt @ u)
     return {
         "t": x[:l],
         "rho": jnp.maximum(jnp.exp(x[l:]) - config.rho_floor, 0.0),

@@ -56,6 +56,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

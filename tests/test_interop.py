@@ -90,6 +90,7 @@ def test_patch_run_script():
     assert "NPROF=7" in out and "NLEVELS=40" in out and "run" in out
 
 
+@pytest.mark.slow
 def test_rttov_simulate_drop_in(tmp_path):
     in_path = str(tmp_path / "prof_plev.dat")
     out_path = str(tmp_path / "output_example_k.dat")

@@ -29,6 +29,7 @@ def _tb(prof, t=None, rho=None, lwc=None):
     )["tb"]
 
 
+@pytest.mark.slow
 def test_kmatrix_temperature_vs_fd(prof):
     k = jacobians.kmatrix_single(
         prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],

@@ -41,6 +41,7 @@ def test_forward_sharded_pads_odd_batch(mesh8):
     assert out["tb"].shape[0] == 5
 
 
+@pytest.mark.slow
 def test_spectral_sharded_matches_dense(mesh8):
     profiles = lbl.demo_batch(2, n_levels=40)
     f = jnp.linspace(51.0, 59.0, 24)  # not divisible by 2 after pad check
@@ -63,6 +64,7 @@ def test_srf_convolve_normalizes():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()

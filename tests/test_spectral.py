@@ -57,6 +57,7 @@ def test_srf_convolution(profiles):
                                np.asarray(out["tb"].mean(-1)), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_spectral_sd_model_matches_xla_at_line_center():
     """The spectral kernel evaluates the qSD line shape for the SD releases
     (previously silently Lorentzian): near 22.235 GHz the R20SD spectrum
