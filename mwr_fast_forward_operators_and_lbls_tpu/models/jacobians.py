@@ -79,21 +79,28 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     elevation).  This path exploits two structural facts instead:
 
       1. absorption is local:  alpha[f, l] depends only on the atmospheric
-         state at level l, so d(alpha)/d(x) is *diagonal* over levels and one
-         `jax.linearize` tangent per variable (cost ~ one absorption forward
-         each) yields the full elementwise partial field;
-      2. the RTE is diagonal over frequency: TB[f] consumes only alpha[f, :],
-         so dTB/dalpha is one cheap O(L) gradient of the geometry+RTE tail
-         per (elevation, channel) scalar — no absorption physics inside.
+         state at level l, so d(alpha)/d(x) is *diagonal* over (f, l) once
+         the state is broadcast to the (F, L, B) lattice — a SINGLE VJP with
+         a ones cotangent then returns the elementwise partial fields for
+         ALL variables at once (one absorption forward + one backward,
+         regardless of len(wrt));
+      2. the RTE is diagonal over frequency and the slant geometry over
+         elevation: broadcasting (alpha, t, ds) to the (B, E, F, ·) lattice
+         makes every input element feed exactly one TB output, so one
+         vectorized grad of sum(TB) through the *production* RTE yields the
+         exact per-(b, e, f) adjoints G = dTB/dalpha, the direct Planck
+         term dTB/dt, and dTB/dds in one backward pass; the geometry-path
+         direct terms then come from F cheap geometry VJPs per (b, e).
 
-    The chain rule then assembles
+    The chain rule assembles
 
         K_x[e, f, l] = G[e, f, l] * dalpha[f, l]/dx[l]  +  D_x[e, f, l]
 
-    where G = dTB/dalpha and D_x collects the direct (non-absorption) paths:
-    Planck source (t), refraction-bent geometry (t, rho, p).  Total cost is
-    ~1 + len(wrt) absorption evaluations plus a trivial RTE adjoint — vs
-    ~F x len(wrt) full backward passes for `kmatrix_batch`.
+    where D_x collects the direct (non-absorption) paths: Planck source (t)
+    and refraction-bent geometry (t, rho, p).  Total cost is ~2 absorption
+    evaluations plus one vectorized RTE forward+backward — measured ~3-4x
+    one forward for wrt=(t, rho, lwc) (bench.py `kmatrix_cost_x_forward`),
+    vs ~F x len(wrt) full backward passes for `kmatrix_batch`.
 
     This replaces the role of RTTOV-gb's hand-written Fortran K/adjoint code
     (/root/reference/python_src/proc/RTTOV_gb_processing.py:287-301) with the
@@ -116,51 +123,72 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     lwc = profiles.get("lwc")
     lwc = jnp.zeros_like(rho) if lwc is None else lwc.astype(dtype)
 
+    b_n, l_n = t.shape
+    f_n, e_n = f.shape[0], elevs.shape[0]
+
     # -- 1) absorption + its elementwise partials, lanes (F, L, B) layout
     #    (batch on the minor/lane axis: full register tiles, no relayouts
-    #    inside the linearized graph).
-    tT, rhoT, lwcT, pT = t.T, rho.T, lwc.T, p.T          # (L, B)
+    #    inside the differentiated graph).  The state is broadcast onto the
+    #    (F, L, B) lattice so every input element feeds exactly one alpha
+    #    output; ONE VJP with a ones cotangent then returns the exact
+    #    elementwise partials for all four variables simultaneously.
+    def bcast_flb(x):                                        # (B, L) ->
+        return jnp.broadcast_to(x.T[None], (f_n, l_n, b_n))  # (F, L, B)
 
     def absorb(tt, rr, ww, pp):
-        return total_absorption(f[:, None, None], pp[None], tt[None],
-                                rr[None], ww[None], model=config.model)
+        return total_absorption(f[:, None, None], pp, tt, rr, ww,
+                                model=config.model)
 
-    alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
-    ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
-    seeds = {"t": (ones, zero, zero, zero),
-             "rho": (zero, ones, zero, zero),
-             "p": (zero, zero, zero, ones)}
-    partials = {name: lin(*seeds[name]).transpose(2, 0, 1)   # (B, F, L)
-                for name in wrt if name != "lwc"}
-    if "lwc" in wrt:
-        # Cloud absorption is exactly linear in LWC (Rayleigh regime), so
-        # d(alpha)/d(lwc) is liquid_absorption at unit content — one direct
-        # elementwise evaluation instead of a linearize tangent pass.
-        from ..ops.absorption import liquid_absorption
-        partials["lwc"] = jnp.broadcast_to(
-            liquid_absorption(f[:, None, None], tT[None],
-                              jnp.ones_like(tT)[None]),
-            alpha_lb.shape).transpose(2, 0, 1)
+    alpha_lb, absorb_vjp = jax.vjp(absorb, bcast_flb(t), bcast_flb(rho),
+                                   bcast_flb(lwc), bcast_flb(p))
+    da_t, da_rho, da_lwc, da_p = absorb_vjp(jnp.ones_like(alpha_lb))
+    partials = {"t": da_t, "rho": da_rho, "lwc": da_lwc, "p": da_p}
+    partials = {name: partials[name].transpose(2, 0, 1)      # (B, F, L)
+                for name in wrt}
     alpha = alpha_lb.transpose(2, 0, 1)                      # (B, F, L)
 
-    # -- 2) geometry + RTE adjoint: grad of one scalar TB per (b, f, e).
-    def tb_scalar(alpha_l, ti, pi, ri, zi, fi, el):
-        e_hpa = thermo.rho_to_e(ri, ti)
-        ds = geometry.slant_path_lengths(zi, pi, ti, e_hpa, el)
-        return rte.downwelling_tb(alpha_l[None, :], ds, ti, fi[None])["tb"][0]
+    # -- 2) geometry + RTE adjoint: one vectorized backward pass.  alpha,
+    #    t (Planck source) and ds are broadcast to the (B, E, F, ·) lattice,
+    #    so grad of sum(TB) through the production RTE gives the exact
+    #    per-(b, e, f) adjoints for all three in a single pass — no
+    #    per-scalar gradient graphs, and the slant geometry is computed
+    #    once per (b, e) instead of once per (b, e, f).
+    def geo_fn(ti, pi, ri, zi, el):
+        return geometry.slant_path_lengths(
+            zi, pi, ti, thermo.rho_to_e(ri, ti), el)         # (L-1,)
 
-    grad_fn = jax.grad(tb_scalar, argnums=(0, 1, 2, 3))
-    g_e = jax.vmap(grad_fn, in_axes=(None, None, None, None, None, None, 0))
-    g_fe = jax.vmap(g_e, in_axes=(0, None, None, None, None, 0, None))
-    g_bfe = jax.vmap(g_fe, in_axes=(0, 0, 0, 0, 0, None, None))
-    g_alpha, d_t, d_p, d_rho = g_bfe(alpha, t, p, rho, z, f, elevs)
+    ds = jax.vmap(lambda el: jax.vmap(geo_fn, (0, 0, 0, 0, None))(
+        t, p, rho, z, el))(elevs)                            # (E, B, L-1)
+    ds = ds.transpose(1, 0, 2)                               # (B, E, L-1)
 
-    def to_befl(x):                                          # (B,F,E,L) ->
-        return x.transpose(0, 2, 1, 3)                       # (B,E,F,L)
+    def rte_sum(alpha_befl, t_befl, ds_befl):
+        def tb_one(a_l, t_l, ds_l, fi):
+            return rte.downwelling_tb(a_l[None], ds_l, t_l,
+                                      fi[None])["tb"][0]
+        tb = jax.vmap(jax.vmap(jax.vmap(
+            tb_one, (0, 0, 0, 0)), (0, 0, 0, None)), (0, 0, 0, None))(
+                alpha_befl, t_befl, ds_befl, f)              # (B, E, F)
+        return jnp.sum(tb)
 
-    g_alpha = to_befl(g_alpha)
-    direct = {"t": to_befl(d_t), "p": to_befl(d_p),
-              "rho": to_befl(d_rho), "lwc": None}
+    alpha_befl = jnp.broadcast_to(alpha[:, None], (b_n, e_n, f_n, l_n))
+    t_befl = jnp.broadcast_to(t[:, None, None], (b_n, e_n, f_n, l_n))
+    ds_befl = jnp.broadcast_to(ds[:, :, None], (b_n, e_n, f_n, l_n - 1))
+    g_alpha, g_t_planck, g_ds = jax.grad(rte_sum, argnums=(0, 1, 2))(
+        alpha_befl, t_befl, ds_befl)                         # (B, E, F, .)
+
+    # Geometry-path direct terms: contract dTB/dds with the geometry
+    # Jacobian via F cheap geometry VJPs per (b, e) — never materializing
+    # the (L-1, L) Jacobian.
+    def geo_pullback(ti, pi, ri, zi, el, gds_f):             # gds_f (F, L-1)
+        _, vjp = jax.vjp(lambda a, b2, c: geo_fn(a, b2, c, zi, el),
+                         ti, pi, ri)
+        return jax.vmap(vjp)(gds_f)                          # 3 x (F, L)
+    geo_t, geo_p, geo_rho = jax.vmap(jax.vmap(
+        geo_pullback, (None, None, None, None, 0, 0)),
+        (0, 0, 0, 0, None, 0))(t, p, rho, z, elevs, g_ds)    # (B, E, F, L)
+
+    direct = {"t": g_t_planck + geo_t, "p": geo_p, "rho": geo_rho,
+              "lwc": None}
 
     out = {}
     for name in wrt:
