@@ -70,7 +70,9 @@ def bench_headline():
     per_call = profiling.device_time(
         lambda pr: lbl.forward_batch(pr, config), (profiles,),
         iters=40, trials=4)
-    return batch * n_elev / per_call, per_call
+    # fraction of the analytic speed-of-light bound (VERDICT r2 Next #4)
+    bound = profiling.lbl_roofline(batch).time_bound_s()
+    return batch * n_elev / per_call, per_call, bound / per_call
 
 
 def bench_spectral():
@@ -102,7 +104,18 @@ def bench_spectral():
         lambda pr: spectral._forward_chunk(pr, fc, (90.0,), "R24")[0],
         (profiles,), iters=10, trials=3)
     per_call = per_chunk * (nf / 8192)
-    return batch * nf / per_call, per_call
+
+    # roofline fraction of the absorption kernel itself (VERDICT r2 Next #5)
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas import (
+        spectral_kernel)
+    n_pts = batch * 180
+    t_abs = profiling.device_time(
+        lambda pr: spectral_kernel.absorption_spectral(
+            fc, pr["p"].reshape(-1), pr["t"].reshape(-1),
+            pr["rho"].reshape(-1), pr["lwc"].reshape(-1), "R24"),
+        (profiles,), iters=10, trials=3)
+    bound = profiling.spectral_roofline(n_pts, 8192).time_bound_s()
+    return batch * nf / per_call, per_call, bound / t_abs
 
 
 def bench_kmatrix(forward_per_call):
@@ -186,7 +199,7 @@ def bench_forward_stage(headline_rate):
     from mwr_fast_forward_operators_and_lbls_tpu.pipeline import (
         forward_stage)
 
-    n_time, n_lev = 1000, 180
+    n_time, n_lev = N_STAGE_TIME, 180
     profs = lbl.demo_batch(n_time, n_levels=n_lev)
     ds = Dataset()
     flip = slice(None, None, -1)
@@ -219,11 +232,23 @@ def bench_forward_stage(headline_rate):
     forward_stage(ds, models=("R24",), batch_size=256, fused=True)
     wall = time.perf_counter() - t0
 
+    # On-device time of the whole stage program (all chunks x model via
+    # lax.map, one dispatch) — instrumented with the same chained
+    # device_time methodology as the headline (VERDICT r2 Next #3), so it
+    # is comparable to the summed kernel time for the same work.
+    from mwr_fast_forward_operators_and_lbls_tpu.data import (
+        preprocess as _pp)
+    from mwr_fast_forward_operators_and_lbls_tpu.pipeline.forward import (
+        _screen, _stage_device)
+    raw0, _ = _screen(_pp.profiles_for_forward(ds, crop=0))
+    dev = {k: jax.device_put(jnp.asarray(v)) for k, v in raw0.items()}
+    stage_dev_s = profiling.device_time(
+        lambda d: _stage_device(d, None, ("R24",), False, True, 256),
+        (dev,), iters=4, trials=3)
+
     # Host->device upload cost of the same profile payload, measured
     # separately: over the test harness's network tunnel this is the
     # dominant term and is a property of the link, not the pipeline.
-    from mwr_fast_forward_operators_and_lbls_tpu.data import (
-        preprocess as _pp)
     raw = {k: np.ascontiguousarray(v)
            for k, v in _pp.profiles_for_forward(ds, crop=0).items()}
     t0 = time.perf_counter()
@@ -235,12 +260,15 @@ def bench_forward_stage(headline_rate):
     spectra = n_time * 2 * 10           # time x crop x elevation
     rate = spectra / wall
     rate_design = spectra / max(wall - upload, 1e-9)
-    return rate / headline_rate, rate, rate_design / headline_rate
+    return rate / headline_rate, rate, rate_design / headline_rate, stage_dev_s
+
+
+N_STAGE_TIME = 1000
 
 
 def main():
     quick = "--quick" in sys.argv
-    rate, fwd_per_call = bench_headline()
+    rate, fwd_per_call, roofline_frac = bench_headline()
     result = {
         "metric": "tb_spectra_per_s_per_chip",
         "value": round(rate, 2),
@@ -250,8 +278,11 @@ def main():
     }
     if not quick:
         extra = {}
-        sp_rate, _ = bench_spectral()
+        # measured fraction of the analytic roofline bound
+        extra["lbl_roofline_frac"] = round(roofline_frac, 3)
+        sp_rate, _, sp_roof = bench_spectral()
         extra["spectral_50k_Mfreqpoints_per_s"] = round(sp_rate / 1e6, 2)
+        extra["spectral_roofline_frac"] = round(sp_roof, 3)
         k_ms, k_x = bench_kmatrix(fwd_per_call)
         extra["kmatrix_ms_per_batch256"] = round(k_ms * 1e3, 2)
         extra["kmatrix_x_forward"] = round(k_x, 2)
@@ -260,11 +291,17 @@ def main():
             bench_fast_serving() * 1e3, 3)
         extra["oem_retrieval_ms_per_profile"] = round(
             bench_retrieval() * 1e3, 3)
-        frac, stage_rate, frac_design = bench_forward_stage(rate)
+        frac, stage_rate, frac_design, stage_dev_s = bench_forward_stage(rate)
         extra["forward_stage_spectra_per_s"] = round(stage_rate, 1)
         extra["forward_stage_frac_of_kernel"] = round(frac, 4)
         # fraction with the (link-dependent) host->device upload excluded
         extra["forward_stage_frac_excl_upload"] = round(frac_design, 3)
+        # on-device time of the single-dispatch stage program (crop 0,
+        # 1000 launches x 10 elevations, R24) vs the summed kernel time
+        # for the same 10k spectra
+        extra["forward_stage_device_ms"] = round(stage_dev_s * 1e3, 2)
+        extra["forward_stage_device_x_kernel"] = round(
+            stage_dev_s / (N_STAGE_TIME * 10 / rate), 2)
         result["extra"] = extra
     print(json.dumps(result))
 

@@ -5,7 +5,7 @@ the instruction stream — perfect for 14 HATPRO channels, impossible for the
 50k-frequency monochromatic grid of BASELINE config 4.  This kernel flips
 the layout: frequencies ride the 128-wide lane axis as *data*, and the
 (level x profile) points ride the sublane axis, so one grid step evaluates
-8 points x 128 frequencies of the line summation on full VPU tiles.
+ROWS points x FLANES frequencies of the line summation on full VPU tiles.
 
 Division of labor: everything that depends only on the atmospheric point —
 line widths, strengths, mixing, continua bases (all the transcendentals) —
@@ -34,8 +34,8 @@ from ...constants.h2o_lines import H2O_MODELS
 from ...constants.o2_lines import O2_MODELS
 from ..absorption.h2o import _GL_W, _GL_X
 
-ROWS = 8      # points per grid step (sublanes)
-FLANES = 128  # frequencies per grid step (lanes)
+ROWS = 32     # points per grid step (sublanes; 4 native 8x128 tiles)
+FLANES = 256  # frequencies per grid step (lanes)
 
 
 def _sd_flags(h2o):
@@ -68,15 +68,23 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
 
     rows = []
     sd_flags = _sd_flags(h2o)
+    cut2 = float(h2o.cutoff_ghz) ** 2
     for li in range(np.asarray(h2o.fl).size):
         width = float(np.asarray(h2o.w3)[li]) * pda \
             * jnp.exp(float(np.asarray(h2o.x)[li]) * log_ti) \
             + float(np.asarray(h2o.ws)[li]) * pvap \
             * jnp.exp(float(np.asarray(h2o.xs)[li]) * log_ti)
+        # line strength with the 1/fl^2 prefactor folded in — saves one
+        # kernel multiply and keeps per-line terms uniformly scaled
         s = float(np.asarray(h2o.s1)[li]) * ti2 \
-            * jnp.exp(float(np.asarray(h2o.b2)[li]) * (1.0 - ti))
+            * jnp.exp(float(np.asarray(h2o.b2)[li]) * (1.0 - ti)) \
+            * float(1.0 / np.asarray(h2o.fl, np.float64)[li] ** 2)
         rows.append(width)
         rows.append(s)
+        # Clough cutoff pedestal s*w/(cut^2+w^2): frequency-independent, so
+        # precomputed here by XLA — this removes one fp32 divide per (line,
+        # frequency) pair from the kernel body.
+        rows.append(s * width / (cut2 + width * width))
         if sd_flags[li]:
             # quadratic speed dependence of the width (qSD line shape,
             # R19SD/R20SD) — one extra row only for the SD lines.
@@ -94,7 +102,9 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3):
     for li in range(np.asarray(o2.f).size):
         df = float(np.asarray(o2.w300)[li]) * den
         rows.append(df)
-        rows.append(float(np.asarray(o2.s300)[li])
+        # strength with the 1/f0^2 prefactor folded in (see H2O above)
+        rows.append(float(np.asarray(o2.s300)[li]
+                          / np.asarray(o2.f, np.float64)[li] ** 2)
                     * jnp.exp(-float(np.asarray(o2.be)[li]) * th1))
         rows.append(ybase * (float(np.asarray(o2.y0)[li])
                              + float(np.asarray(o2.y1)[li]) * th1))
@@ -141,10 +151,10 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
     o2_f = np.asarray(o2.f, np.float64)
     nh, no = h2o_fl.size, o2_f.size
     sd_flags = _sd_flags(h2o)
-    # per-line base offset into the row table (2 rows + 1 gamma2 row for
-    # speed-dependent lines)
+    # per-line base offset into the row table (width/strength/pedestal +
+    # 1 gamma2 row for speed-dependent lines)
     h2o_base = np.concatenate(
-        [[0], np.cumsum([3 if sd else 2 for sd in sd_flags])]).astype(int)
+        [[0], np.cumsum([4 if sd else 3 for sd in sd_flags])]).astype(int)
     second = o2.has_second_order
     o2_rows = 5 if second else 3
     s_base = int(h2o_base[-1]) + o2_rows * no
@@ -157,47 +167,61 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
         row = lambda i: rows_ref[i]        # (ROWS, 1); lane-broadcasts cheap
 
         # ---- H2O lines (runtime Clough masks) -----------------------------
+        # The resonance and its mirror share ONE divide:
+        #   m1*sw/den1 + m2*sw/den2 = sw*(m1*den2 + m2*den1)/(den1*den2)
+        # and the cutoff pedestal s*w/(cut^2+w^2) is a precomputed row
+        # (frequency-independent), so a non-SD line costs 1 fp32 divide
+        # instead of the naive 3 — divides are the VPU's slowest primitive
+        # and dominate this kernel's critical path.
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
         for li in range(nh):
             fl = float(h2o_fl[li])
             base = int(h2o_base[li])
             width = row(base)
-            s = row(base + 1)
+            s = row(base + 1)        # strength (1/fl^2 prefactor folded in)
+            sbase = row(base + 2)    # pedestal s*w/(cut^2+w^2), same scale
             wsq = width * width
             sw = s * width
-            sbase = sw / (cut2 + wsq)
             df1 = f - fl
             df2 = f + fl
             m1 = (jnp.abs(df1) < cut).astype(jnp.float32)
             m2 = (jnp.abs(df2) < cut).astype(jnp.float32)
+            den2 = wsq + df2 * df2
             if sd_flags[li]:
                 # qSD resonant term: Maxwell-Boltzmann speed average via the
                 # 16-node generalized Gauss-Laguerre rule (same nodes as the
                 # channel kernel / XLA path); mirror + cutoff base stay
                 # Lorentzian (gamma2 negligible hundreds of GHz off line).
-                gamma2 = row(base + 2)
+                gamma2 = row(base + 3)
                 c0 = width - 1.5 * gamma2
                 d1sq = df1 * df1
                 qsum = jnp.zeros((ROWS, FLANES), jnp.float32)
                 for xi, wi in zip(_GL_X, _GL_W):
                     cr = c0 + gamma2 * float(xi)
                     qsum = qsum + (float(wi) * cr) / (cr * cr + d1sq)
-                res1 = s * qsum - sbase
+                acc = acc + m1 * (s * qsum) + m2 * (sw / den2) \
+                    - (m1 + m2) * sbase
             else:
-                res1 = sw / (wsq + df1 * df1) - sbase
-            den2 = wsq + df2 * df2
-            res = m1 * res1 + m2 * (sw / den2 - sbase)
-            acc = acc + (1.0 / (fl * fl)) * res
+                den1 = wsq + df1 * df1
+                acc = acc + (sw * (m1 * den2 + m2 * den1)) / (den1 * den2) \
+                    - (m1 + m2) * sbase
         h2o_alpha = (row(sidx["h2o_scale"]) * f2) * acc \
             + row(sidx["con_b"]) * f2
 
         # ---- O2 lines -----------------------------------------------------
+        # Each line's +/- resonance pair already shares one divide; lines
+        # are then merged two-at-a-time (P_a/D_a + P_b/D_b =
+        # (P_a*D_b + P_b*D_a)/(D_a*D_b)) so the 49-line band costs 25
+        # divides per point instead of 49.  fp32 range check: D = den1*den2
+        # is in [1e-4, 3e8] over the atmosphere, so D_a*D_b stays well
+        # inside fp32; strengths carry the 1e-14-scale s300 so P*D ~ 1e-2.
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
+        pending = None  # (P, D) of the unpaired previous line
         for li in range(no):
             f0 = float(o2_f[li])
             base = int(h2o_base[-1]) + o2_rows * li
             df = row(base)
-            strength = row(base + 1)
+            strength = row(base + 1)  # 1/f0^2 prefactor folded in
             yy = row(base + 2)
             dfsq = df * df
             if second:
@@ -211,10 +235,17 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple):
                 d2 = f + f0
             den1 = dfsq + d1 * d1
             den2 = dfsq + d2 * d2
-            num1 = dfg + d1 * yy
-            num2 = dfg - d2 * yy
-            pair = (num1 * den2 + num2 * den1) / (den1 * den2)
-            acc = acc + (1.0 / (f0 * f0)) * (strength * pair)
+            p_i = strength * (dfg * (den1 + den2)
+                              + yy * (d1 * den2 - d2 * den1))
+            d_i = den1 * den2
+            if pending is None:
+                pending = (p_i, d_i)
+            else:
+                p_a, d_a = pending
+                acc = acc + (p_a * d_i + p_i * d_a) / (d_a * d_i)
+                pending = None
+        if pending is not None:
+            acc = acc + pending[0] / pending[1]
         nonres = row(sidx["dfnr_over_th"]) * float(o2.nonres_coeff) * f2 \
             / (f2 + row(sidx["dfnr2"]))
         o2_alpha = jnp.maximum(
@@ -251,16 +282,26 @@ def absorption_spectral(f_ghz, p_hpa, t_k, rho_gm3, lwc_gm3,
                         model: str = "R24"):
     """Monochromatic absorption: (F,) x (N,) point arrays -> (N, F) [Np/km].
 
-    F must be a multiple of 128 and N a multiple of 8 (pad and slice).
+    Inputs are padded internally to (ROWS, FLANES) tile multiples and the
+    result sliced back, so any N/F works.
     """
     n = p_hpa.shape[0]
     nf = f_ghz.shape[0]
-    if n % ROWS or nf % FLANES:
-        raise ValueError(f"N={n} must be multiple of {ROWS}, F={nf} of {FLANES}")
-    rows, scalar_names = _pack_rows(model, p_hpa.astype(jnp.float32),
-                                    t_k.astype(jnp.float32),
-                                    rho_gm3.astype(jnp.float32),
-                                    lwc_gm3.astype(jnp.float32))
+    n_pad, f_pad = (-n) % ROWS, (-nf) % FLANES
+    if f_pad:
+        f_ghz = jnp.concatenate(
+            [f_ghz, jnp.broadcast_to(f_ghz[-1:], (f_pad,))])
+
+    def padp(a, fill):
+        a = a.astype(jnp.float32)
+        if n_pad:
+            a = jnp.concatenate([a, jnp.full(n_pad, fill, jnp.float32)])
+        return a
+
+    rows, scalar_names = _pack_rows(model, padp(p_hpa, 500.0),
+                                    padp(t_k, 250.0), padp(rho_gm3, 0.1),
+                                    padp(lwc_gm3, 0.0))
+    n, nf = n + n_pad, nf + f_pad
     kernel, n_rows = _build_kernel(model, len(scalar_names),
                                    tuple(scalar_names))
     grid = (n // ROWS, nf // FLANES)
@@ -278,4 +319,4 @@ def absorption_spectral(f_ghz, p_hpa, t_k, rho_gm3, lwc_gm3,
         out_shape=jax.ShapeDtypeStruct((n, nf), jnp.float32),
         interpret=(jax.default_backend() != "tpu"),
     )(f_ghz.astype(jnp.float32).reshape(1, nf), rows[:, :, None])
-    return out
+    return out[:n - n_pad, :nf - f_pad] if (n_pad or f_pad) else out

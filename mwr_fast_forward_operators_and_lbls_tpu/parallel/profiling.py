@@ -92,6 +92,33 @@ class Roofline:
         return max(eff_flops / vpu_flops_s, self.hbm_bytes / hbm_bytes_s)
 
 
+def spectral_roofline(n_points: int, n_freqs: int, n_h2o_lines: int = 15,
+                      n_o2_lines: int = 49,
+                      divide_flop_eq: float = 7.0) -> Roofline:
+    """Work/traffic accounting of the spectral Pallas kernel
+    (ops/pallas/spectral_kernel.py) — the 50k-grid BASELINE config 4.
+
+    Unlike the channel kernel, every (point, frequency) pair must evaluate
+    ALL lines with runtime cutoff masks (frequencies are data, so no static
+    line pruning is possible), which is the structural reason the spectral
+    path costs more per point than the channel path.  Per (point, freq,
+    line): H2O ~19 flops + 1 divide (resonance+mirror share the divide, the
+    Clough pedestal is a precomputed row); O2 ~19 flops + 1/2 divide (lines
+    merged pairwise).  The fp32 VPU divide is the slowest primitive
+    (`divide_flop_eq` ~ its cost in mul-adds).  All transcendentals live in
+    the XLA-precomputed row table, amortized over frequencies — counted in
+    HBM traffic, not kernel flops.
+    """
+    pairs = float(n_points) * n_freqs
+    flops = pairs * (n_h2o_lines * (19.0 + divide_flop_eq)
+                     + n_o2_lines * (19.0 + 0.5 * divide_flop_eq)
+                     + 40.0)  # continua + cloud liquid tail
+    n_rows = 3 * n_h2o_lines + 5 * n_o2_lines + 9
+    hbm = (n_points * n_rows * 4.0     # row table (read once per row-tile)
+           + pairs * 4.0)              # alpha out
+    return Roofline(flops, 0.0, hbm)
+
+
 def lbl_roofline(batch: int, n_levels: int = 180, n_channels: int = 14,
                  n_elevations: int = 10, n_h2o_lines: int = 15,
                  n_o2_lines: int = 40) -> Roofline:
