@@ -143,6 +143,16 @@ def cmd_evaluate(args) -> int:
         ds = report.select_time_window(ds, np.datetime64(lo),
                                        np.datetime64(hi))
         print(f"time window {lo}..{hi}: {ds.dims['time']} launches")
+    if getattr(args, "full", False):
+        # The complete reference analysis matrix: campaign x location x
+        # seasonal window x sky, figures + per-elevation stats CSV per cell
+        # (multi_campaign_plots_and_ana.py:1047-1348).
+        manifest = report.full_report(ds, args.outdir)
+        print(f"full matrix: {len(manifest['cells'])} cells, "
+              f"{manifest['n_figures_total']} figures, "
+              f"{len(manifest['skipped'])} empty cells skipped; "
+              f"manifest at {args.outdir}/manifest.json")
+        return 0
     if args.sky != "all":
         # Clear/cloudy stratification (clear_sky_dataset,
         # multi_campaign_plots_and_ana.py:103-151).
@@ -430,6 +440,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--outdir", default="plots")
     se.add_argument("--compat", dest="compat_aliases", action="store_true",
                     default=None)
+    se.add_argument("--full", action="store_true",
+                    help="emit the complete reference analysis matrix: "
+                         "campaign x location x seasonal window x sky, "
+                         "figures + per-elevation stats CSV per cell "
+                         "(multi_campaign_plots_and_ana.py:1047-1348)")
     se.add_argument("--sky", choices=("all", "clear", "cloudy"),
                     default="all", help="clear/cloudy stratification")
     se.add_argument("--start", default=None,

@@ -171,6 +171,129 @@ def plot_departures_vs_lwp(dev: np.ndarray, lwp: np.ndarray, path: str,
 
 
 # ---------------------------------------------------------------------------
+# Full paper-analysis matrix (the reference's main analysis driver,
+# multi_campaign_plots_and_ana.py:1047-1348: campaign x location loops for
+# the all-sky set :1056-1128, repeated for the cloudy split :1134-1208 and
+# for two seasonal re-analysis windows :1212-1348)
+# ---------------------------------------------------------------------------
+
+def seasonal_windows(ds: Dataset) -> list:
+    """The reference's two seasonal re-analysis windows, anchored to the
+    dataset's own year: May (dry) and June-July (humid)
+    (multi_campaign_plots_and_ana.py:1212-1348)."""
+    t = np.asarray(ds["time"].data, np.float64)
+    if t.size == 0 or not np.isfinite(t).any():
+        return []
+    year = _dt.datetime.fromtimestamp(
+        float(np.nanmin(t)), _dt.timezone.utc).year
+    return [
+        ("may_dry", np.datetime64(f"{year}-05-01"),
+         np.datetime64(f"{year}-06-01")),
+        ("jun_jul_humid", np.datetime64(f"{year}-06-01"),
+         np.datetime64(f"{year}-08-01")),
+    ]
+
+
+def _campaign_location_subsets(ds: Dataset) -> list:
+    """[(label, subset)] — the full set plus each (campaign, location) pair
+    present (select_ds_camp_loc, multi_campaign_plots_and_ana.py:182-186)."""
+    subsets = [("all", ds)]
+    if "Campaign" not in ds or "Location" not in ds:
+        return subsets
+
+    def as_strings(v):
+        a = np.asarray(v)
+        if a.ndim == 2:  # NetCDF char-array round trip: (time, strlen)
+            a = np.array(["".join(row).strip("\x00 ")
+                          for row in a.astype(str)])
+        return a.astype(str)
+
+    camps = as_strings(ds["Campaign"].data)
+    locs = as_strings(ds["Location"].data)
+    for camp, loc in sorted(set(zip(camps.tolist(), locs.tolist()))):
+        mask = (camps == camp) & (locs == loc)
+        label = f"{camp}_{loc}".replace(" ", "-").replace("/", "-")
+        subsets.append((label, ds.sel_mask("time", mask)))
+    return subsets
+
+
+def full_report(ds: Dataset, outdir: str, windows: list | None = None,
+                skies=("all", "clear", "cloudy"),
+                min_launches: int = 1) -> dict:
+    """Emit the reference's COMPLETE figure/CSV matrix in one call.
+
+    Enumerates campaign x location x seasonal-window x sky; each non-empty
+    cell gets the standard figure set (`plots.standard_report`) plus a
+    per-elevation statistics CSV (Shi-convention bias/std/rmse).  Matches
+    the reference's main analysis driver, which hand-loops the same matrix
+    (multi_campaign_plots_and_ana.py:1047-1348) and exports stats CSVs
+    (final_zenith_plots.py:626-663).
+
+    `windows`: [(label, start, end)]; None = the full record plus the two
+    seasonal windows when the record spans them.  Returns a manifest dict
+    (also written to `{outdir}/manifest.json`):
+      {cells: {label: {n_launches, n_figures, figures, stats_csv}},
+       skipped: [label...], n_figures_total}
+    """
+    import json
+    import os
+
+    from . import sky as sky_mod
+    from ..constants import hatpro
+    from .plots import standard_report
+
+    if windows is None:
+        windows = [("full", None, None)] + seasonal_windows(ds)
+    os.makedirs(outdir, exist_ok=True)
+    cells, skipped = {}, []
+    for cl_label, sub_cl in _campaign_location_subsets(ds):
+        for w_label, w_start, w_end in windows:
+            sub_w = sub_cl
+            if w_start is not None or w_end is not None:
+                sub_w = select_time_window(
+                    sub_w, w_start or np.datetime64("1970-01-01"),
+                    w_end or np.datetime64("2200-01-01"))
+            splits = {}
+            if "clear" in skies or "cloudy" in skies:
+                clear, cloudy = sky_mod.split_clear_cloudy(sub_w)
+                splits.update(clear=clear, cloudy=cloudy)
+            for s_label in skies:
+                sub = splits.get(s_label, sub_w)
+                label = f"{cl_label}/{w_label}/{s_label}"
+                if sub.dims.get("time", 0) < min_launches:
+                    skipped.append(label)
+                    continue
+                celldir = os.path.join(outdir, cl_label, w_label, s_label)
+                figures = standard_report(sub, celldir)
+                rows = []
+                n_elev = hatpro.ELEVATIONS_DEG.size
+                for e in range(n_elev):
+                    for row in stats_table(sub, elevation_index=e):
+                        row["elevation_deg"] = float(
+                            hatpro.ELEVATIONS_DEG[e])
+                        rows.append(row)
+                csv_path = None
+                if rows:
+                    csv_path = write_stats_csv(
+                        rows, os.path.join(celldir, "stats.csv"))
+                cells[label] = {
+                    "n_launches": int(sub.dims["time"]),
+                    "n_figures": len(figures),
+                    "figures": [os.path.relpath(p, outdir) for p in figures],
+                    "stats_csv": (os.path.relpath(csv_path, outdir)
+                                  if csv_path else None),
+                }
+    manifest = {
+        "cells": cells,
+        "skipped": skipped,
+        "n_figures_total": sum(c["n_figures"] for c in cells.values()),
+    }
+    with open(os.path.join(outdir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
 # Per-sonde bias plots (create_single_sonde_TSI_plot, final_zenith_plots.py
 # :353-562 — minus the total-sky-imager photo panel, which requires the
 # author's private image archive)

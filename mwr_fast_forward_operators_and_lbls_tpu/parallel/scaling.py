@@ -29,7 +29,24 @@ def measure(per_device_batch: int = 256, n_levels: int = 180,
             device_counts=None, config: lbl.LBLConfig | None = None,
             iters: int = 11) -> list:
     """Weak-scaling sweep; returns [{n_devices, seconds, spectra_per_s,
-    efficiency}] with efficiency relative to the first entry."""
+    efficiency, sharding_overhead_eff}] relative to the first entry.
+
+    Two efficiency readings, because they answer different questions:
+
+    * ``efficiency`` — per-device throughput invariance
+      ((rate_n / n) / rate_1): THE weak-scaling number on real hardware,
+      where each device adds compute.  Meaningless on a virtual
+      single-host CPU mesh (all "devices" share the same cores, so per-
+      device rate necessarily drops ~1/n).
+    * ``sharding_overhead_eff`` — aggregate throughput invariance
+      (rate_n / rate_1 at n x the work in n shards vs 1 shard of 1 x): the
+      number the virtual mesh CAN measure honestly.  The physical compute
+      is identical in both runs, so any drop below 1.0 is pure sharding
+      cost — GSPMD-inserted collectives/relayouts moving data.  ~1.0 here
+      is the CPU-mesh evidence that the sharding rules are communication-
+      free, which is what makes >= 90 % weak scaling achievable when each
+      mesh entry is a real chip.
+    """
     devices = jax.devices()
     if device_counts is None:
         device_counts = sorted({1, len(devices)})
@@ -39,7 +56,7 @@ def measure(per_device_batch: int = 256, n_levels: int = 180,
             use_pallas=jax.default_backend() == "tpu")
     n_elev = len(config.elevations_deg)
     results = []
-    base = None
+    base_per_dev = base_rate_per_work = None
     for n in device_counts:
         if n > len(devices):
             break
@@ -52,13 +69,19 @@ def measure(per_device_batch: int = 256, n_levels: int = 180,
             (placed,), iters=iters)
         rate = batch * n_elev / t
         per_dev = rate / n
-        if base is None:
-            base = per_dev
+        if base_per_dev is None:
+            base_per_dev = per_dev
+            base_rate_per_work = rate
         results.append({
             "n_devices": n,
             "seconds": t,
             "spectra_per_s": rate,
-            "efficiency": per_dev / base,
+            "efficiency": per_dev / base_per_dev,
+            # aggregate-rate invariance: on a shared-core virtual mesh the
+            # physical compute is fixed, so rate_n / rate_1 isolates pure
+            # sharding cost (> 1.0 on real hardware, where it is instead
+            # n x efficiency).
+            "sharding_overhead_eff": rate / base_rate_per_work,
         })
     return results
 

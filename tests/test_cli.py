@@ -131,3 +131,42 @@ def test_cli_evaluate_stratified(raw, tmp_path):
                  "--stats-csv", csv_path]) == 0
     assert os.path.exists(csv_path)
     assert os.path.isdir(os.path.join(outdir, "per_sonde"))
+
+
+def test_cli_evaluate_full_matrix(raw, tmp_path):
+    """`evaluate --full` emits the reference's complete analysis matrix:
+    campaign x location x seasonal-window x sky cells, each with the
+    standard figure set + a per-elevation stats CSV, plus a manifest
+    (multi_campaign_plots_and_ana.py:1047-1348)."""
+    harm = str(tmp_path / "h.nc")
+    results = str(tmp_path / "r.nc")
+    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
+                 "--campaign", "Vital", "--location", "Juelich",
+                 "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
+    assert main(["forward", "-i", harm, "-o", results,
+                 "--models", "R24,R98"]) == 0
+    outdir = str(tmp_path / "matrix")
+    assert main(["evaluate", "-i", results, "--outdir", outdir,
+                 "--full"]) == 0
+    with open(os.path.join(outdir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    cells = manifest["cells"]
+    # the fixture launches are August -> the seasonal May/June-July windows
+    # are empty cells; the full-record cells must exist for both the "all"
+    # aggregate and the Vital/Juelich campaign-location pair
+    assert "all/full/all" in cells
+    assert "Vital_Juelich/full/all" in cells
+    for label, cell in cells.items():
+        assert cell["n_figures"] >= 1, label
+        assert cell["stats_csv"], label
+        assert os.path.exists(os.path.join(outdir, cell["stats_csv"]))
+        for fig in cell["figures"]:
+            assert os.path.exists(os.path.join(outdir, fig))
+    # per-elevation stats rows: 10 elevations per deviation x channel
+    import csv as _csv
+    with open(os.path.join(
+            outdir, cells["all/full/all"]["stats_csv"])) as fh:
+        rows = list(_csv.DictReader(fh))
+    elevs = {r["elevation_deg"] for r in rows}
+    assert len(elevs) == 10
+    assert manifest["n_figures_total"] >= 4 * len(cells) - 4
