@@ -70,12 +70,14 @@ def bench_headline():
     per_call = profiling.device_time(
         lambda pr: lbl.forward_batch(pr, config), (profiles,),
         iters=40, trials=4)
-    # fraction of the analytic speed-of-light bound (VERDICT r2 Next #4)
-    bound = profiling.lbl_roofline(batch).time_bound_s()
-    return batch * n_elev / per_call, per_call, bound / per_call
+    # fraction of the speed-of-light bound: analytic instruction counts
+    # against THIS chip's measured per-primitive peaks (VERDICT r2 Next #4)
+    peaks = profiling.measure_vpu_peaks()
+    bound = profiling.lbl_roofline(batch).time_bound_s(peaks)
+    return batch * n_elev / per_call, per_call, bound / per_call, peaks
 
 
-def bench_spectral():
+def bench_spectral(peaks=None):
     """Config 4: 50k monochromatic frequencies + SRF, 32 profiles."""
     from mwr_fast_forward_operators_and_lbls_tpu.constants import hatpro
     from mwr_fast_forward_operators_and_lbls_tpu.models import spectral
@@ -114,7 +116,7 @@ def bench_spectral():
             fc, pr["p"].reshape(-1), pr["t"].reshape(-1),
             pr["rho"].reshape(-1), pr["lwc"].reshape(-1), "R24"),
         (profiles,), iters=10, trials=3)
-    bound = profiling.spectral_roofline(n_pts, 8192).time_bound_s()
+    bound = profiling.spectral_roofline(n_pts, 8192).time_bound_s(peaks)
     return batch * nf / per_call, per_call, bound / t_abs
 
 
@@ -268,7 +270,7 @@ N_STAGE_TIME = 1000
 
 def main():
     quick = "--quick" in sys.argv
-    rate, fwd_per_call, roofline_frac = bench_headline()
+    rate, fwd_per_call, roofline_frac, peaks = bench_headline()
     result = {
         "metric": "tb_spectra_per_s_per_chip",
         "value": round(rate, 2),
@@ -280,7 +282,7 @@ def main():
         extra = {}
         # measured fraction of the analytic roofline bound
         extra["lbl_roofline_frac"] = round(roofline_frac, 3)
-        sp_rate, _, sp_roof = bench_spectral()
+        sp_rate, _, sp_roof = bench_spectral(peaks)
         extra["spectral_50k_Mfreqpoints_per_s"] = round(sp_rate / 1e6, 2)
         extra["spectral_roofline_frac"] = round(sp_roof, 3)
         k_ms, k_x = bench_kmatrix(fwd_per_call)

@@ -62,6 +62,43 @@ def _within_time(times, launch, tol_min=MIN_TIME_DIFF_MIN):
     return np.nonzero(dt_s <= tol_min * 60.0)[0]
 
 
+# path -> (mtime, tmin, tmax): each MWR file's time coverage, read once per
+# campaign instead of once per (file, launch) pair.  The reference avoids
+# the same O(files x launches) blow-up by narrowing with per-datetime
+# filename globs (MWR_read_in_module.py:45-50); coverage caching is the
+# dialect-agnostic equivalent (no filename convention required).
+_TIME_RANGE_CACHE: dict = {}
+
+
+def _files_covering(files: list, launch: np.datetime64,
+                    tol_min=MIN_TIME_DIFF_MIN) -> list:
+    """Subset of `files` whose time axis comes within `tol_min` of launch."""
+    import os
+
+    out = []
+    for path in files:
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            continue
+        cached = _TIME_RANGE_CACHE.get(path)
+        if cached is None or cached[0] != mtime:
+            ds = netcdf.read_many([path])[0]
+            if ds is None or "time" not in ds:
+                _TIME_RANGE_CACHE[path] = (mtime, None, None)
+            else:
+                t = decode_time(ds["time"])
+                _TIME_RANGE_CACHE[path] = (mtime, t.min(), t.max())
+        _, tmin, tmax = _TIME_RANGE_CACHE[path]
+        if tmin is None:
+            out.append(path)  # undecodable: let the reader decide
+            continue
+        pad = np.timedelta64(int(tol_min * 60), "s")
+        if tmin - pad <= launch <= tmax + pad:
+            out.append(path)
+    return out
+
+
 def read_l1_tbs(files: list, launch: np.datetime64,
                 elevations=hatpro.ELEVATIONS_DEG,
                 azimuths=hatpro.AZIMUTHS_DEG):
@@ -70,6 +107,7 @@ def read_l1_tbs(files: list, launch: np.datetime64,
     tbs = np.full((len(elevations), len(azimuths), hatpro.N_CHANNELS), np.nan)
     lat = lon = np.nan
     qual = 0.0
+    files = _files_covering(files, launch)
     for path, ds in zip(files, netcdf.read_many(files)):
         if ds is None:
             continue
@@ -156,6 +194,7 @@ def read_l2_profiles(files: list, launch: np.datetime64,
     """
     data = np.full((4, n_levels), np.nan)
     lwp = iwv = np.nan
+    files = _files_covering(files, launch)
     for path, ds in zip(files, netcdf.read_many(files)):
         if ds is None:
             continue

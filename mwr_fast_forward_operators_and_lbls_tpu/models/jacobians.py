@@ -79,28 +79,29 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     elevation).  This path exploits two structural facts instead:
 
       1. absorption is local:  alpha[f, l] depends only on the atmospheric
-         state at level l, so d(alpha)/d(x) is *diagonal* over (f, l) once
-         the state is broadcast to the (F, L, B) lattice — a SINGLE VJP with
-         a ones cotangent then returns the elementwise partial fields for
-         ALL variables at once (one absorption forward + one backward,
-         regardless of len(wrt));
-      2. the RTE is diagonal over frequency and the slant geometry over
-         elevation: broadcasting (alpha, t, ds) to the (B, E, F, ·) lattice
-         makes every input element feed exactly one TB output, so one
-         vectorized grad of sum(TB) through the *production* RTE yields the
-         exact per-(b, e, f) adjoints G = dTB/dalpha, the direct Planck
-         term dTB/dt, and dTB/dds in one backward pass; the geometry-path
-         direct terms then come from F cheap geometry VJPs per (b, e).
+         state at level l, so d(alpha)/d(x) is *diagonal* over levels and
+         one `jax.linearize` tangent per variable (cost ~ one absorption
+         forward each, with the per-point setup amortized over F) yields
+         the full elementwise partial field; d(alpha)/d(lwc) is analytic
+         (Rayleigh absorption is linear in LWC);
+      2. the RTE adjoint is CLOSED-FORM: `rte.downwelling_tb_adjoint`
+         returns the exact per-(b, e, f) adjoints G = dTB/dalpha, the
+         direct Planck term dTB/dt, and dTB/dds from one vectorized
+         suffix-sum pass (measured ~6x cheaper than reverse-mode AD
+         through the cumulative-opacity scan); the geometry-path direct
+         terms then come from F cheap geometry VJPs per (b, e).
 
     The chain rule assembles
 
         K_x[e, f, l] = G[e, f, l] * dalpha[f, l]/dx[l]  +  D_x[e, f, l]
 
     where D_x collects the direct (non-absorption) paths: Planck source (t)
-    and refraction-bent geometry (t, rho, p).  Total cost is ~2 absorption
-    evaluations plus one vectorized RTE forward+backward — measured ~3-4x
-    one forward for wrt=(t, rho, lwc) (bench.py `kmatrix_cost_x_forward`),
-    vs ~F x len(wrt) full backward passes for `kmatrix_batch`.
+    and refraction-bent geometry (t, rho, p).  Measured (v5e, B=256, E=10,
+    wrt=(t, rho, lwc)): 2.4 ms ~ 8x the fused-kernel forward / ~4x the XLA
+    forward (bench.py `kmatrix_x_forward`), vs ~F x len(wrt) full backward
+    passes for `kmatrix_batch`; the remaining dominator is the XLA
+    linearize of absorption (1.8 ms) — a fused analytic-tangent Pallas
+    kernel is the known next step.
 
     This replaces the role of RTTOV-gb's hand-written Fortran K/adjoint code
     (/root/reference/python_src/proc/RTTOV_gb_processing.py:287-301) with the
@@ -128,31 +129,43 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
 
     # -- 1) absorption + its elementwise partials, lanes (F, L, B) layout
     #    (batch on the minor/lane axis: full register tiles, no relayouts
-    #    inside the differentiated graph).  The state is broadcast onto the
-    #    (F, L, B) lattice so every input element feeds exactly one alpha
-    #    output; ONE VJP with a ones cotangent then returns the exact
-    #    elementwise partials for all four variables simultaneously.
-    def bcast_flb(x):                                        # (B, L) ->
-        return jnp.broadcast_to(x.T[None], (f_n, l_n, b_n))  # (F, L, B)
+    #    inside the linearized graph).  Inputs stay (L, B) with the
+    #    frequency broadcast INSIDE the function, so the per-point setup
+    #    (widths, strengths, continua — all the transcendentals) is computed
+    #    once per point and amortized over F in the primal AND in each
+    #    tangent; one `jax.linearize` + one tangent per non-lwc variable.
+    #    (A broadcast-(F,L,B)-input VJP obtains all partials in one backward
+    #    pass but re-evaluates the setup per frequency — measured ~40 %
+    #    slower overall at B=256.)
+    tT, rhoT, lwcT, pT = t.T, rho.T, lwc.T, p.T              # (L, B)
 
     def absorb(tt, rr, ww, pp):
-        return total_absorption(f[:, None, None], pp, tt, rr, ww,
-                                model=config.model)
+        return total_absorption(f[:, None, None], pp[None], tt[None],
+                                rr[None], ww[None], model=config.model)
 
-    alpha_lb, absorb_vjp = jax.vjp(absorb, bcast_flb(t), bcast_flb(rho),
-                                   bcast_flb(lwc), bcast_flb(p))
-    da_t, da_rho, da_lwc, da_p = absorb_vjp(jnp.ones_like(alpha_lb))
-    partials = {"t": da_t, "rho": da_rho, "lwc": da_lwc, "p": da_p}
-    partials = {name: partials[name].transpose(2, 0, 1)      # (B, F, L)
-                for name in wrt}
+    alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
+    ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
+    seeds = {"t": (ones, zero, zero, zero),
+             "rho": (zero, ones, zero, zero),
+             "p": (zero, zero, zero, ones)}
+    partials = {name: lin(*seeds[name]).transpose(2, 0, 1)   # (B, F, L)
+                for name in wrt if name != "lwc"}
+    if "lwc" in wrt:
+        # Cloud absorption is exactly linear in LWC (Rayleigh regime), so
+        # d(alpha)/d(lwc) is liquid_absorption at unit content — one direct
+        # elementwise evaluation instead of a linearize tangent pass.
+        from ..ops.absorption import liquid_absorption
+        partials["lwc"] = jnp.broadcast_to(
+            liquid_absorption(f[:, None, None], tT[None],
+                              jnp.ones_like(tT)[None]),
+            alpha_lb.shape).transpose(2, 0, 1)
     alpha = alpha_lb.transpose(2, 0, 1)                      # (B, F, L)
 
-    # -- 2) geometry + RTE adjoint: one vectorized backward pass.  alpha,
-    #    t (Planck source) and ds are broadcast to the (B, E, F, ·) lattice,
-    #    so grad of sum(TB) through the production RTE gives the exact
-    #    per-(b, e, f) adjoints for all three in a single pass — no
-    #    per-scalar gradient graphs, and the slant geometry is computed
-    #    once per (b, e) instead of once per (b, e, f).
+    # -- 2) geometry once per (b, e), then the HAND-WRITTEN RTE adjoint:
+    #    exact dTB/d(alpha, t, ds) for all (b, e, f) in one vectorized
+    #    closed-form pass (rte.downwelling_tb_adjoint) — autodiff through
+    #    the cumulative-opacity scan materializes large reverse-mode
+    #    intermediates and measured ~6x slower at this size.
     def geo_fn(ti, pi, ri, zi, el):
         return geometry.slant_path_lengths(
             zi, pi, ti, thermo.rho_to_e(ri, ti), el)         # (L-1,)
@@ -161,20 +174,8 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
         t, p, rho, z, el))(elevs)                            # (E, B, L-1)
     ds = ds.transpose(1, 0, 2)                               # (B, E, L-1)
 
-    def rte_sum(alpha_befl, t_befl, ds_befl):
-        def tb_one(a_l, t_l, ds_l, fi):
-            return rte.downwelling_tb(a_l[None], ds_l, t_l,
-                                      fi[None])["tb"][0]
-        tb = jax.vmap(jax.vmap(jax.vmap(
-            tb_one, (0, 0, 0, 0)), (0, 0, 0, None)), (0, 0, 0, None))(
-                alpha_befl, t_befl, ds_befl, f)              # (B, E, F)
-        return jnp.sum(tb)
-
-    alpha_befl = jnp.broadcast_to(alpha[:, None], (b_n, e_n, f_n, l_n))
-    t_befl = jnp.broadcast_to(t[:, None, None], (b_n, e_n, f_n, l_n))
-    ds_befl = jnp.broadcast_to(ds[:, :, None], (b_n, e_n, f_n, l_n - 1))
-    g_alpha, g_t_planck, g_ds = jax.grad(rte_sum, argnums=(0, 1, 2))(
-        alpha_befl, t_befl, ds_befl)                         # (B, E, F, .)
+    g_alpha, g_t_planck, g_ds = rte.downwelling_tb_adjoint(
+        alpha, ds, t, f)                                     # (B, E, F, .)
 
     # Geometry-path direct terms: contract dTB/dds with the geometry
     # Jacobian via F cheap geometry VJPs per (b, e) — never materializing

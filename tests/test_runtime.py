@@ -59,9 +59,16 @@ def test_device_time_measures_work():
 
 def test_roofline_bounds():
     r = profiling.lbl_roofline(batch=1024)
-    assert r.flops > 0 and r.hbm_bytes > 0
+    assert r.fma_ops > 0 and r.div_ops > 0 and r.exp_ops > 0
+    assert r.hbm_bytes > 0
     t = r.time_bound_s()
     assert 1e-5 < t < 1.0
+    # spectral kernel accounting: divide count reflects the pair-merged
+    # layout (<< one divide per (line, freq) pair)
+    s = profiling.spectral_roofline(5760, 8192)
+    per_pair = s.div_ops / (5760 * 8192)
+    assert 30 < per_pair < 64
+    assert s.time_bound_s() > 0
 
 
 def test_distill_checkpoint_resume(tmp_path):
