@@ -134,7 +134,18 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
         # ---- H2O resonant lines -------------------------------------------
         # acc_h2o[ch] accumulates sum_l s_l * res_l / fl^2; scaled by
         # 0.3183e-4 * 3.344e16 * rho * f^2 at the end.
+        #
+        # "Very far" halves (the common case: every mirror, every line far
+        # from the channel) fold COMPLETELY into trace-time constants: the
+        # 2-term series of a half minus its share of the Clough pedestal is
+        #     sw*(inv - inv_cut2) - (sw*w^2)*(inv^2 - inv_cut2^2),
+        # so summing the parenthesized constants over a channel's far
+        # halves collapses any number of them into TWO fma per (line,
+        # channel) on the hoisted per-point tensors (sw, sw*w^2) — same
+        # algebra as evaluating each half, just reassociated at trace time.
         ti2 = jnp.exp(2.5 * log_ti)
+        inv_cut2 = 1.0 / cut2
+        invc2_sq = inv_cut2 * inv_cut2
         acc_h2o = [None] * nf
         for li in range(h2o_fl.size):
             fl = float(h2o_fl[li])
@@ -148,8 +159,8 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             wsq = width * width
             s = float(h2o_s1[li]) * ti2 * jnp.exp(float(h2o_b2[li]) * (1.0 - ti))
             sw = s * width
+            swsq = sw * wsq
             # Clough base: cut^2 >> w^2, so the series is exact to ~1e-10.
-            inv_cut2 = 1.0 / cut2
             sbase = (sw * inv_cut2) * (1.0 - wsq * inv_cut2)
             inv_fl2 = 1.0 / (fl * fl)
             wmax_sq = float(h2o_wmax[li]) ** 2
@@ -176,7 +187,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             for ci, fch in enumerate(freqs_np):
                 d1sq = (fch - fl) ** 2
                 d2sq = (fch + fl) ** 2
-                sres = 0.0
+                if not (m1[ci] or m2[ci]):
+                    continue
+                a_c = b_c = 0.0          # trace-time far-half constants
+                sres = None              # tensor part from near halves
                 if m1[ci]:
                     if sd_nodes is not None:
                         qsum = None
@@ -184,15 +198,26 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                             term = (wi * cr) / (cr2 + d1sq)
                             qsum = term if qsum is None else qsum + term
                         sres = s * qsum - sbase
+                    elif wmax_sq < VERY_FAR_R * d1sq:
+                        inv = 1.0 / d1sq
+                        a_c += inv - inv_cut2
+                        b_c += inv * inv - invc2_sq
                     else:
-                        sres = _lorentz_term(sw, wsq, d1sq,
-                                             wmax_sq < VERY_FAR_R * d1sq) - sbase
+                        sres = sw / (wsq + d1sq) - sbase
                 if m2[ci]:
-                    sres = sres + _lorentz_term(
-                        sw, wsq, d2sq, wmax_sq < VERY_FAR_R * d2sq) - sbase
-                if not (m1[ci] or m2[ci]):
-                    continue
-                contrib = inv_fl2 * sres
+                    if wmax_sq < VERY_FAR_R * d2sq:
+                        inv = 1.0 / d2sq
+                        a_c += inv - inv_cut2
+                        b_c += inv * inv - invc2_sq
+                    else:
+                        t2 = sw / (wsq + d2sq) - sbase
+                        sres = t2 if sres is None else sres + t2
+                contrib = None
+                if sres is not None:
+                    contrib = inv_fl2 * sres
+                if a_c or b_c:
+                    far = sw * (inv_fl2 * a_c) - swsq * (inv_fl2 * b_c)
+                    contrib = far if contrib is None else contrib + far
                 acc_h2o[ci] = contrib if acc_h2o[ci] is None \
                     else acc_h2o[ci] + contrib
         h2o_scale = (0.3183e-4 * 3.344e16) * rho
@@ -237,24 +262,39 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                 d2sq = (fch + f0) ** 2
                 vf1 = dfmax_sq < VERY_FAR_R * d1sq
                 vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always very far
-                num2 = dfg - (fch + f0) * yy
-                if dnu is not None and not vf1:
+                # Far halves fold into 4 trace-time constants: with
+                # num_i = dfg + c_i*yy (c_1 = f-f0, c_2 = -(f+f0)) the
+                # 2-term series sum over far halves is
+                #   dfg*K1 + yy*K2 - df^2*(dfg*K3 + yy*K4),
+                # K1..K4 = sums of inv, c*inv, inv^2, c*inv^2 — so both
+                # halves (the common case off the 60-GHz band) cost 5 fma
+                # on the hoisted (dfg, yy, dfsq) tensors.
+                k1 = k2 = k3 = k4 = 0.0
+                pair = None
+                if vf1:
+                    inv = 1.0 / d1sq
+                    c1 = fch - f0
+                    k1 += inv; k2 += c1 * inv
+                    k3 += inv * inv; k4 += c1 * inv * inv
+                elif dnu is not None:
                     # near-resonant with a pressure-shifted center: the
                     # detuning (and so the denominator) is tile-valued.
                     d1 = (fch - f0) - dnu
-                    num1 = dfg + d1 * yy
-                    pair = num1 / (dfsq + d1 * d1) \
-                        + _lorentz_term(num2, dfsq, d2sq, vf2)
+                    pair = (dfg + d1 * yy) / (dfsq + d1 * d1)
                 else:
-                    num1 = dfg + (fch - f0) * yy
-                    if not vf1 and not vf2:
-                        # both near: one divide over the common denominator
-                        den1 = dfsq + d1sq
-                        den2 = dfsq + d2sq
-                        pair = (num1 * den2 + num2 * den1) / (den1 * den2)
-                    else:
-                        pair = _lorentz_term(num1, dfsq, d1sq, vf1) \
-                            + _lorentz_term(num2, dfsq, d2sq, vf2)
+                    pair = (dfg + (fch - f0) * yy) / (dfsq + d1sq)
+                if vf2:
+                    inv = 1.0 / d2sq
+                    c2 = -(fch + f0)
+                    k1 += inv; k2 += c2 * inv
+                    k3 += inv * inv; k4 += c2 * inv * inv
+                else:
+                    t2 = (dfg - (fch + f0) * yy) / (dfsq + d2sq)
+                    pair = t2 if pair is None else pair + t2
+                if k1 or k2:
+                    far = (dfg * k1 + yy * k2) \
+                        - dfsq * (dfg * k3 + yy * k4)
+                    pair = far if pair is None else pair + far
                 contrib = inv_f02 * (strength * pair)
                 acc_o2[ci] = contrib if acc_o2[ci] is None \
                     else acc_o2[ci] + contrib

@@ -44,6 +44,7 @@ def test_kmatrix_temperature_vs_fd(prof):
         np.testing.assert_allclose(np.asarray(k[:, lev]), fd, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_kmatrix_vapor_vs_fd(prof):
     k = jacobians.kmatrix_single(
         prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],

@@ -73,6 +73,7 @@ def test_graft_entry_dryrun():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_forward_sharded_pallas_path(mesh8):
     """shard_map + fused-kernel path agrees with the XLA sharded path."""
     profiles = lbl.demo_batch(16, n_levels=32)

@@ -26,6 +26,7 @@ def test_spectral_matches_channel_forward(profiles):
                                rtol=1e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_spectral_chunking_is_seamless(profiles):
     f = jnp.linspace(22.0, 32.0, 300)
     a = spectral.forward_spectral(profiles, f, (90.0,), "R98", freq_chunk=128)
