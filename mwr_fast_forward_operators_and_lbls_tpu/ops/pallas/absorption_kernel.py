@@ -234,13 +234,15 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
         dfnr_over_th = dfnr / ti
         ybase = 0.001 * p * b if o2.mixing_basis == "p" else den
         pe2 = den * den if o2_second else None
-        acc_o2 = [None] * nf
+
+        # Pass 1 — per-line point tensors, hoisted over channels.
+        o2_lines = []
         for li in range(o2_f.size):
-            f0 = float(o2_f[li])
             df = float(o2_w300[li]) * den
-            dfsq = df * df
             yy = ybase * (float(o2_y0[li]) + float(o2_y1[li]) * th1)
-            strength = float(o2_s300[li]) * jnp.exp(-float(o2_be[li]) * th1)
+            # strength with the 1/f0^2 prefactor folded in
+            strength = float(o2_s300[li] / o2_f[li] ** 2) \
+                * jnp.exp(-float(o2_be[li]) * th1)
             # Second-order mixing (R19+): G scales the width numerator once
             # per line (shared across channels); delta-nu shifts the line
             # center, which only matters for near-resonant pairs — at "very
@@ -255,22 +257,26 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                 dnu = pe2 * (float(o2_dnu0[li]) + float(o2_dnu1[li]) * th1)
             else:
                 dnu = None
-            inv_f02 = 1.0 / (f0 * f0)
-            dfmax_sq = float(o2_dfmax[li]) ** 2
-            for ci, fch in enumerate(freqs_np):
+            o2_lines.append((float(o2_f[li]), df * df, yy, strength, dfg,
+                             dnu, float(o2_dfmax[li]) ** 2))
+
+        # Pass 2 — per channel: far halves fold into 4 trace-time constants
+        # (with num_i = dfg + c_i*yy, the 2-term series sum over far halves
+        # is dfg*K1 + yy*K2 - df^2*(dfg*K3 + yy*K4)); near halves become
+        # strength-folded (P, D) rationals and are merged PAIRWISE ACROSS
+        # LINES (P_a/D_a + P_b/D_b = (P_a D_b + P_b D_a)/(D_a D_b)) so the
+        # V-band's ~40 near lines per channel cost ~20 hardware divides
+        # instead of ~40 — the fp32 divide is the VPU's slowest primitive.
+        acc_o2 = [None] * nf
+        for ci, fch in enumerate(freqs_np):
+            acc = None
+            near = []                     # (P, D) near-half rationals
+            for f0, dfsq, yy, strength, dfg, dnu, dfmax_sq in o2_lines:
                 d1sq = (fch - f0) ** 2
                 d2sq = (fch + f0) ** 2
                 vf1 = dfmax_sq < VERY_FAR_R * d1sq
-                vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always very far
-                # Far halves fold into 4 trace-time constants: with
-                # num_i = dfg + c_i*yy (c_1 = f-f0, c_2 = -(f+f0)) the
-                # 2-term series sum over far halves is
-                #   dfg*K1 + yy*K2 - df^2*(dfg*K3 + yy*K4),
-                # K1..K4 = sums of inv, c*inv, inv^2, c*inv^2 — so both
-                # halves (the common case off the 60-GHz band) cost 5 fma
-                # on the hoisted (dfg, yy, dfsq) tensors.
+                vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always far
                 k1 = k2 = k3 = k4 = 0.0
-                pair = None
                 if vf1:
                     inv = 1.0 / d1sq
                     c1 = fch - f0
@@ -280,24 +286,31 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                     # near-resonant with a pressure-shifted center: the
                     # detuning (and so the denominator) is tile-valued.
                     d1 = (fch - f0) - dnu
-                    pair = (dfg + d1 * yy) / (dfsq + d1 * d1)
+                    near.append((strength * (dfg + d1 * yy),
+                                 dfsq + d1 * d1))
                 else:
-                    pair = (dfg + (fch - f0) * yy) / (dfsq + d1sq)
+                    near.append((strength * (dfg + (fch - f0) * yy),
+                                 dfsq + d1sq))
                 if vf2:
                     inv = 1.0 / d2sq
                     c2 = -(fch + f0)
                     k1 += inv; k2 += c2 * inv
                     k3 += inv * inv; k4 += c2 * inv * inv
                 else:
-                    t2 = (dfg - (fch + f0) * yy) / (dfsq + d2sq)
-                    pair = t2 if pair is None else pair + t2
+                    near.append((strength * (dfg - (fch + f0) * yy),
+                                 dfsq + d2sq))
                 if k1 or k2:
-                    far = (dfg * k1 + yy * k2) \
-                        - dfsq * (dfg * k3 + yy * k4)
-                    pair = far if pair is None else pair + far
-                contrib = inv_f02 * (strength * pair)
-                acc_o2[ci] = contrib if acc_o2[ci] is None \
-                    else acc_o2[ci] + contrib
+                    far = strength * ((dfg * k1 + yy * k2)
+                                      - dfsq * (dfg * k3 + yy * k4))
+                    acc = far if acc is None else acc + far
+            for j in range(0, len(near) - 1, 2):
+                (pa, da), (pb, db) = near[j], near[j + 1]
+                merged = (pa * db + pb * da) / (da * db)
+                acc = merged if acc is None else acc + merged
+            if len(near) % 2:
+                pa, da = near[-1]
+                acc = pa / da if acc is None else acc + pa / da
+            acc_o2[ci] = acc
         o2_scale = o2.scale * pda * ti * ti * ti
 
         # ---- dry (N2/pressure-induced) continuum base ---------------------

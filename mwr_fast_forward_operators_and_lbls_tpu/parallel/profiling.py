@@ -171,17 +171,21 @@ def lbl_roofline(batch: int, n_levels: int = 180, n_channels: int = 14,
     (ops/pallas/absorption_kernel.py + the lanes RTE).
 
     Channel frequencies are compile-time immediates, so detunings are
-    constants and ~60 % of the Lorentzian pair terms run a 2-term series
-    with a trace-time reciprocal instead of a hardware divide (the kernel's
-    VERY_FAR_R path).  Per (line, channel, point): ~12 lane ops + ~0.8
-    divides; per (line, point) setup: widths/strengths, 2-3 exps; the RTE
-    adds ~12 ops + ~1.1 exps per (elevation, channel, layer, profile) plus
-    an MXU prefix-sum matmul (separate unit, rarely the bound).
+    constants: "very far" line halves (every mirror + every line far from
+    the channel) fold completely into trace-time series constants — ~3 lane
+    ops per H2O (line, channel) and ~7 per folded O2 far pair — and the
+    remaining near-resonant halves (the V-band's ~40 per channel) are
+    strength-folded rationals merged pairwise across lines, ~0.4 hardware
+    divides per O2 (line, channel).  Per (line, point) setup:
+    widths/strengths, 2-3 exps; the RTE adds ~12 ops + ~1.1 exps per
+    (elevation, channel, layer, profile) plus an MXU prefix-sum matmul
+    (separate unit, rarely the bound).
     """
     pts = batch * n_levels
-    pairs = pts * n_channels * (n_h2o_lines + n_o2_lines)
-    abs_fma = pairs * 12.0 + pts * (n_h2o_lines * 12 + n_o2_lines * 9 + 30)
-    abs_div = pairs * 0.8 + pts * 6.0
+    abs_fma = (pts * n_channels * (n_h2o_lines * 3.0 + n_o2_lines * 9.0)
+               + pts * (n_h2o_lines * 13 + n_o2_lines * 9 + 30))
+    abs_div = pts * n_channels * (n_h2o_lines * 0.03
+                                  + n_o2_lines * 0.4) + pts * 6.0
     abs_exp = pts * (n_h2o_lines * 3 + n_o2_lines * 1 + 8)
     rte_pts = batch * n_elevations * n_channels * n_levels
     rte_fma = rte_pts * 12.0
