@@ -376,7 +376,13 @@ def cmd_run_all(args) -> int:
     log(f"analysis dataset -> {analysis}")
 
     outdir = os.path.join(args.workdir, "plots")
-    paths = plots.standard_report(ds, outdir)
+    if getattr(args, "full", False):
+        manifest = report.full_report(ds, outdir)
+        log(f"report: full matrix, {len(manifest['cells'])} cells / "
+            f"{manifest['n_figures_total']} figures -> {outdir}")
+        paths = []
+    else:
+        paths = plots.standard_report(ds, outdir)
     rows = report.stats_table(ds)
     csv_path = report.write_stats_csv(
         rows, os.path.join(args.workdir, "stats.csv"))
@@ -527,6 +533,9 @@ def build_parser() -> argparse.ArgumentParser:
     sra.add_argument("--teacher", dest="teacher_model", default=None)
     sra.add_argument("--resume", action="store_true",
                      help="reuse an existing harmonized.nc in workdir")
+    sra.add_argument("--full", action="store_true",
+                     help="emit the complete campaign x location x window x "
+                          "sky analysis matrix instead of the standard set")
     sra.set_defaults(fn=cmd_run_all)
 
     sc = sub.add_parser("config", help="print the default typed config")
