@@ -16,6 +16,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import thermo
 from .lbl import LBLConfig, forward_single
@@ -69,9 +70,10 @@ def kmatrix_batch(profiles: dict, config: LBLConfig = LBLConfig(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "wrt"))
+@functools.partial(jax.jit, static_argnames=("config", "wrt", "fused"))
 def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
-                       wrt: tuple = ("t", "rho", "lwc")):
+                       wrt: tuple = ("t", "rho", "lwc"),
+                       fused: bool | None = None):
     """Batched K-matrix through the diagonal-adjoint decomposition.
 
     `kmatrix_batch` differentiates the whole forward operator with `jacrev`
@@ -79,11 +81,12 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     elevation).  This path exploits two structural facts instead:
 
       1. absorption is local:  alpha[f, l] depends only on the atmospheric
-         state at level l, so d(alpha)/d(x) is *diagonal* over levels and
-         one `jax.linearize` tangent per variable (cost ~ one absorption
-         forward each, with the per-point setup amortized over F) yields
-         the full elementwise partial field; d(alpha)/d(lwc) is analytic
-         (Rayleigh absorption is linear in LWC);
+         state at level l, so d(alpha)/d(x) is *diagonal* over levels — ONE
+         dual-number pass of the fused Pallas kernel
+         (total_absorption_fused_tangents) returns alpha and both
+         elementwise partial fields (dT, drho) with the per-point setup
+         computed once in VMEM; d(alpha)/d(lwc) is analytic (Rayleigh
+         absorption is linear in LWC);
       2. the RTE adjoint is CLOSED-FORM: `rte.downwelling_tb_adjoint`
          returns the exact per-(b, e, f) adjoints G = dTB/dalpha, the
          direct Planck term dTB/dt, and dTB/dds from one vectorized
@@ -97,11 +100,13 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
 
     where D_x collects the direct (non-absorption) paths: Planck source (t)
     and refraction-bent geometry (t, rho, p).  Measured (v5e, B=256, E=10,
-    wrt=(t, rho, lwc)): 2.4 ms ~ 8x the fused-kernel forward / ~4x the XLA
-    forward (bench.py `kmatrix_x_forward`), vs ~F x len(wrt) full backward
-    passes for `kmatrix_batch`; the remaining dominator is the XLA
-    linearize of absorption (1.8 ms) — a fused analytic-tangent Pallas
-    kernel is the known next step.
+    wrt=(t, rho, lwc)): 1.24 ms = 5.2x the fused-kernel forward (bench.py
+    `kmatrix_x_forward`), vs ~F x len(wrt) full backward passes for
+    `kmatrix_batch`.  The fused tangent path agrees with the XLA linearize
+    fallback (`fused=False`, used automatically on CPU or when wrt includes
+    "p") to <~2 % worst-point relative — the far-term series truncation
+    differentiates slightly differently than the exact Lorentzian it
+    approximates; the value field itself matches to ~1e-6.
 
     This replaces the role of RTTOV-gb's hand-written Fortran K/adjoint code
     (/root/reference/python_src/proc/RTTOV_gb_processing.py:287-301) with the
@@ -127,39 +132,75 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     b_n, l_n = t.shape
     f_n, e_n = f.shape[0], elevs.shape[0]
 
-    # -- 1) absorption + its elementwise partials, lanes (F, L, B) layout
-    #    (batch on the minor/lane axis: full register tiles, no relayouts
-    #    inside the linearized graph).  Inputs stay (L, B) with the
-    #    frequency broadcast INSIDE the function, so the per-point setup
-    #    (widths, strengths, continua — all the transcendentals) is computed
-    #    once per point and amortized over F in the primal AND in each
-    #    tangent; one `jax.linearize` + one tangent per non-lwc variable.
-    #    (A broadcast-(F,L,B)-input VJP obtains all partials in one backward
-    #    pass but re-evaluates the setup per frequency — measured ~40 %
-    #    slower overall at B=256.)
+    # -- 1) absorption + its elementwise partials.
+    #
+    #    Fast path (default on TPU, wrt within {t, rho, lwc}): ONE
+    #    dual-number pass of the fused Pallas kernel returns alpha AND both
+    #    tangent fields with the per-point setup (all the transcendentals)
+    #    computed once and shared in VMEM
+    #    (ops/pallas/absorption_kernel.py::total_absorption_fused_tangents).
+    #
+    #    Fallback (CPU, or wrt includes "p"): `jax.linearize` of the XLA
+    #    absorption with inputs kept (L, B) and the frequency broadcast
+    #    INSIDE, so the setup is amortized over F in the primal and in each
+    #    tangent.  (A broadcast-(F,L,B)-input VJP obtains all partials in
+    #    one backward pass but re-evaluates the setup per frequency —
+    #    measured ~40 % slower overall at B=256.)
     tT, rhoT, lwcT, pT = t.T, rho.T, lwc.T, p.T              # (L, B)
+    if fused is None:
+        fused = (jax.default_backend() == "tpu"
+                 and set(wrt) <= {"t", "rho", "lwc"})
+    if fused:
+        from ..ops.pallas import absorption_kernel as ak
 
-    def absorb(tt, rr, ww, pp):
-        return total_absorption(f[:, None, None], pp[None], tt[None],
-                                rr[None], ww[None], model=config.model)
+        n = l_n * b_n
+        block = ak.BLOCK_ROWS * ak.LANES
+        n_pad = -(-n // block) * block
 
-    alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
-    ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
-    seeds = {"t": (ones, zero, zero, zero),
-             "rho": (zero, ones, zero, zero),
-             "p": (zero, zero, zero, ones)}
-    partials = {name: lin(*seeds[name]).transpose(2, 0, 1)   # (B, F, L)
-                for name in wrt if name != "lwc"}
+        def flat(a, fill):                                   # (L, B) -> (N,)
+            v = a.reshape(-1)
+            if n_pad != n:
+                v = jnp.concatenate(
+                    [v, jnp.full(n_pad - n, fill, v.dtype)])
+            return v
+
+        a_fn, da_t, da_rho = ak.total_absorption_fused_tangents(
+            tuple(float(x) for x in np.asarray(config.freqs_ghz)),
+            flat(pT, 500.0), flat(tT, 250.0), flat(rhoT, 0.1),
+            flat(lwcT, 0.0), config.model)
+
+        def unflat(x):                                       # -> (B, F, L)
+            return x[:, :n].reshape(f_n, l_n, b_n).transpose(2, 0, 1)
+
+        alpha = unflat(a_fn)
+        partials = {}
+        if "t" in wrt:
+            partials["t"] = unflat(da_t)
+        if "rho" in wrt:
+            partials["rho"] = unflat(da_rho)
+        alpha_lb = a_fn[:, :n].reshape(f_n, l_n, b_n)
+    else:
+        def absorb(tt, rr, ww, pp):
+            return total_absorption(f[:, None, None], pp[None], tt[None],
+                                    rr[None], ww[None], model=config.model)
+
+        alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
+        ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
+        seeds = {"t": (ones, zero, zero, zero),
+                 "rho": (zero, ones, zero, zero),
+                 "p": (zero, zero, zero, ones)}
+        partials = {name: lin(*seeds[name]).transpose(2, 0, 1)  # (B, F, L)
+                    for name in wrt if name != "lwc"}
+        alpha = alpha_lb.transpose(2, 0, 1)                  # (B, F, L)
     if "lwc" in wrt:
         # Cloud absorption is exactly linear in LWC (Rayleigh regime), so
         # d(alpha)/d(lwc) is liquid_absorption at unit content — one direct
-        # elementwise evaluation instead of a linearize tangent pass.
+        # elementwise evaluation instead of a tangent pass.
         from ..ops.absorption import liquid_absorption
         partials["lwc"] = jnp.broadcast_to(
             liquid_absorption(f[:, None, None], tT[None],
                               jnp.ones_like(tT)[None]),
             alpha_lb.shape).transpose(2, 0, 1)
-    alpha = alpha_lb.transpose(2, 0, 1)                      # (B, F, L)
 
     # -- 2) geometry once per (b, e), then the HAND-WRITTEN RTE adjoint:
     #    exact dTB/d(alpha, t, ds) for all (b, e, f) in one vectorized

@@ -45,7 +45,140 @@ LANES = 128         # native lane count
 BLOCK_ROWS = 8      # sublane rows per grid step (8 = one fp32 vreg per value)
 
 
-def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
+# ---------------------------------------------------------------------------
+# Hand-rolled forward-mode dual numbers with two tangent slots (dT, drho).
+#
+# The SAME kernel body computes either alpha alone or (alpha, dalpha/dT,
+# dalpha/drho) in one fused pass: inputs are wrapped in `_D` and every
+# arithmetic op carries the two tangents along (a Dual multiply is 1 primal
+# + 4 tangent lane ops; a Dual divide still costs ONE hardware divide — the
+# reciprocal is reused by both tangents).  Python-float 0.0 is the symbolic
+# zero tangent, so when tangents are off every tangent expression constant-
+# folds at trace time and the kernel is bit-identical to the plain one.
+# This is what replaces XLA reverse/forward AD of the absorption for the
+# K-matrix: the per-point setup (all the transcendentals) is evaluated once
+# and shared by value and tangents inside VMEM.
+# ---------------------------------------------------------------------------
+
+def _tz(a, b):
+    """Tangent add with symbolic-zero shortcut."""
+    if isinstance(a, float) and a == 0.0:
+        return b
+    if isinstance(b, float) and b == 0.0:
+        return a
+    return a + b
+
+
+def _tm(c, t):
+    """coefficient * tangent with symbolic-zero shortcut."""
+    if isinstance(t, float) and t == 0.0:
+        return 0.0
+    if isinstance(c, float) and c == 0.0:
+        return 0.0
+    return c * t
+
+
+def _tneg(t):
+    return 0.0 if (isinstance(t, float) and t == 0.0) else -t
+
+
+def _is_zero(t):
+    return isinstance(t, float) and t == 0.0
+
+
+class _D:
+    __slots__ = ("v", "dt", "dr")
+
+    def __init__(self, v, dt=0.0, dr=0.0):
+        self.v, self.dt, self.dr = v, dt, dr
+
+    def __add__(self, o):
+        o = _as_d(o)
+        return _D(self.v + o.v, _tz(self.dt, o.dt), _tz(self.dr, o.dr))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        o = _as_d(o)
+        return _D(self.v - o.v, _tz(self.dt, _tneg(o.dt)),
+                  _tz(self.dr, _tneg(o.dr)))
+
+    def __rsub__(self, o):
+        return _as_d(o).__sub__(self)
+
+    def __mul__(self, o):
+        o = _as_d(o)
+        return _D(self.v * o.v,
+                  _tz(_tm(o.v, self.dt), _tm(self.v, o.dt)),
+                  _tz(_tm(o.v, self.dr), _tm(self.v, o.dr)))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        o = _as_d(o)
+        if _is_zero(o.dt) and _is_zero(o.dr):
+            inv = 1.0 / o.v          # constant/opaque denominator
+            return _D(self.v * inv, _tm(inv, self.dt), _tm(inv, self.dr))
+        inv = 1.0 / o.v              # ONE hardware divide for value + tangents
+        v = self.v * inv
+        return _D(v,
+                  _tm(inv, _tz(self.dt, _tm(-v, o.dt))),
+                  _tm(inv, _tz(self.dr, _tm(-v, o.dr))))
+
+    def __rtruediv__(self, o):
+        return _as_d(o).__truediv__(self)
+
+    def __neg__(self):
+        return _D(-self.v, _tneg(self.dt), _tneg(self.dr))
+
+    def __pow__(self, n):
+        assert n == 2
+        return self * self
+
+
+def _as_d(x):
+    return x if isinstance(x, _D) else _D(x)
+
+
+def _exp(x):
+    if isinstance(x, _D):
+        e = jnp.exp(x.v)
+        return _D(e, _tm(e, x.dt), _tm(e, x.dr))
+    return jnp.exp(x)
+
+
+def _log(x):
+    if isinstance(x, _D):
+        if _is_zero(x.dt) and _is_zero(x.dr):
+            return _D(jnp.log(x.v))
+        inv = 1.0 / x.v
+        return _D(jnp.log(x.v), _tm(inv, x.dt), _tm(inv, x.dr))
+    return jnp.log(x)
+
+
+def _max0(x):
+    if isinstance(x, _D):
+        pos = x.v > 0.0
+        gate = lambda t: 0.0 if _is_zero(t) else jnp.where(pos, t, 0.0)
+        return _D(jnp.maximum(x.v, 0.0), gate(x.dt), gate(x.dr))
+    return jnp.maximum(x, 0.0)
+
+
+def _val(x):
+    return x.v if isinstance(x, _D) else x
+
+
+def _tan(x, slot):
+    t = getattr(x, slot) if isinstance(x, _D) else 0.0
+    return t
+
+
+def _first_tensor_zero_like(ref_val):
+    return jnp.zeros_like(ref_val)
+
+
+def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
+                  with_tangents: bool = False):
     """Return a Pallas kernel computing alpha for this model + channel set.
 
     All spectroscopy constants become Python-float immediates; the channel
@@ -116,17 +249,26 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
 
     def kernel(p_ref, t_ref, rho_ref, lwc_ref, *rest):
         if with_o3:
-            o3_ref, out_ref = rest
+            o3_ref, rest = rest[0], rest[1:]
+        else:
+            o3_ref = None
+        if with_tangents:
+            out_ref, dt_ref, dr_ref = rest
         else:
             (out_ref,) = rest
         p = p_ref[:]
         t = t_ref[:]
         rho = rho_ref[:]
         w = lwc_ref[:]
+        if with_tangents:
+            # dual-number inputs: one fused pass yields alpha and its
+            # elementwise partials w.r.t. T and rho
+            t = _D(t, 1.0, 0.0)
+            rho = _D(rho, 0.0, 1.0)
 
         # ---- shared thermodynamic quantities (per data tile) --------------
         ti = 300.0 / t
-        log_ti = jnp.log(ti)
+        log_ti = _log(ti)
         pvap = rho * t * (1.0 / 217.0)
         pda = p - pvap
         th1 = ti - 1.0
@@ -143,7 +285,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
         # halves collapses any number of them into TWO fma per (line,
         # channel) on the hoisted per-point tensors (sw, sw*w^2) — same
         # algebra as evaluating each half, just reassociated at trace time.
-        ti2 = jnp.exp(2.5 * log_ti)
+        ti2 = _exp(2.5 * log_ti)
         inv_cut2 = 1.0 / cut2
         invc2_sq = inv_cut2 * inv_cut2
         acc_h2o = [None] * nf
@@ -154,10 +296,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             m2 = [abs(f + fl) < cut for f in freqs_np]
             if not (any(m1) or any(m2)):
                 continue
-            width = float(h2o_w3[li]) * pda * jnp.exp(float(h2o_x[li]) * log_ti) \
-                + float(h2o_ws[li]) * pvap * jnp.exp(float(h2o_xs[li]) * log_ti)
+            width = float(h2o_w3[li]) * pda * _exp(float(h2o_x[li]) * log_ti) \
+                + float(h2o_ws[li]) * pvap * _exp(float(h2o_xs[li]) * log_ti)
             wsq = width * width
-            s = float(h2o_s1[li]) * ti2 * jnp.exp(float(h2o_b2[li]) * (1.0 - ti))
+            s = float(h2o_s1[li]) * ti2 * _exp(float(h2o_b2[li]) * (1.0 - ti))
             sw = s * width
             swsq = sw * wsq
             # Clough base: cut^2 >> w^2, so the series is exact to ~1e-10.
@@ -176,9 +318,9 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             sd_nodes = None
             if float(h2o_w2[li]) != 0.0 or float(h2o_ws2[li]) != 0.0:
                 gamma2 = (float(h2o_w2[li]) * pda
-                          * jnp.exp(float(h2o_x[li]) * log_ti)
+                          * _exp(float(h2o_x[li]) * log_ti)
                           + float(h2o_ws2[li]) * pvap
-                          * jnp.exp(float(h2o_xs[li]) * log_ti))
+                          * _exp(float(h2o_xs[li]) * log_ti))
                 c0 = width - 1.5 * gamma2
                 sd_nodes = []
                 for xi, wi in zip(_GL_X, _GL_W):
@@ -223,11 +365,11 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
         h2o_scale = (0.3183e-4 * 3.344e16) * rho
 
         # H2O continuum base (per channel: * f^2)
-        con_b = (h2o.cf * jnp.exp(h2o.xcf * log_ti) * pda
-                 + h2o.cs * jnp.exp(h2o.xcs * log_ti) * pvap) * pvap
+        con_b = (h2o.cf * _exp(h2o.xcf * log_ti) * pda
+                 + h2o.cs * _exp(h2o.xcs * log_ti) * pvap) * pvap
 
         # ---- O2: resonant lines + nonresonant Debye ------------------------
-        b = jnp.exp(o2.x * log_ti)
+        b = _exp(o2.x * log_ti)
         den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
         dfnr = o2.wb300 * den
         dfnr2 = dfnr * dfnr
@@ -242,7 +384,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             yy = ybase * (float(o2_y0[li]) + float(o2_y1[li]) * th1)
             # strength with the 1/f0^2 prefactor folded in
             strength = float(o2_s300[li] / o2_f[li] ** 2) \
-                * jnp.exp(-float(o2_be[li]) * th1)
+                * _exp(-float(o2_be[li]) * th1)
             # Second-order mixing (R19+): G scales the width numerator once
             # per line (shared across channels); delta-nu shifts the line
             # center, which only matters for near-resonant pairs — at "very
@@ -315,10 +457,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
 
         # ---- dry (N2/pressure-induced) continuum base ---------------------
         if model == "R98":
-            n2_b = 6.4e-14 * pda * pda * jnp.exp(3.55 * log_ti)
+            n2_b = 6.4e-14 * pda * pda * _exp(3.55 * log_ti)
             n2_fdep = [1.0] * nf
         else:
-            n2_b = 6.5e-14 * pda * pda * jnp.exp(3.6 * log_ti)
+            n2_b = 6.5e-14 * pda * pda * _exp(3.6 * log_ti)
             n2_fdep = [0.5 + 0.5 / (1.0 + (f / 450.0) ** 2) for f in freqs_np]
 
         # ---- ozone rotational lines (ARMS-gb parity) ----------------------
@@ -330,10 +472,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
             for li in range(o3_fl.size):
                 fl = float(o3_fl[li])
                 width = float(o3_w3[li]) * p \
-                    * jnp.exp(float(o3_x[li]) * log_ti)
+                    * _exp(float(o3_x[li]) * log_ti)
                 wsq = width * width
                 s = float(o3_s1[li]) * ti2 \
-                    * jnp.exp(float(o3_b2[li]) * (1.0 - ti))
+                    * _exp(float(o3_b2[li]) * (1.0 - ti))
                 sw = s * width
                 inv_fl2 = 1.0 / (fl * fl)
                 wmax_sq = float(o3_wmax[li]) ** 2
@@ -353,7 +495,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
         eps0 = 77.66 - 103.3 * theta1
         eps1 = 0.0671 * eps0
         eps2 = 3.52
-        inv_fp = jnp.exp(-7.88 * theta1) * (1.0 / 20.1)
+        inv_fp = _exp(-7.88 * theta1) * (1.0 / 20.1)
         inv_fs = inv_fp * (1.0 / 39.8)
         d01 = eps0 - eps1
         w_scaled = -0.06286 * w
@@ -365,7 +507,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                 else 0.0
             nonres = (o2.nonres_coeff * f2) * dfnr_over_th / (f2 + dfnr2)
             line_sum = acc_o2[ci] if acc_o2[ci] is not None else 0.0
-            o2_alpha = jnp.maximum(o2_scale * (f2 * line_sum + nonres), 0.0)
+            o2_alpha = _max0(o2_scale * (f2 * line_sum + nonres))
 
             u = fch * inv_fp
             vv = fch * inv_fs
@@ -380,7 +522,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False):
                         + (f2 * n2_fdep[ci]) * n2_b + liq)
             if with_o3 and acc_o3[ci] is not None:
                 alpha_ci = alpha_ci + (0.3183e-4 * f2) * o3_den * acc_o3[ci]
-            out_ref[ci] = alpha_ci
+            out_ref[ci] = _val(alpha_ci)
+            if with_tangents:
+                dt_ref[ci] = _tan(alpha_ci, "dt")
+                dr_ref[ci] = _tan(alpha_ci, "dr")
 
     return kernel
 
@@ -421,6 +566,45 @@ def total_absorption_fused(freqs: tuple, p_hpa, t_k, rho_gm3, lwc_gm3,
         interpret=(jax.default_backend() != "tpu"),
     )(*inputs)
     return out.reshape(nf, n)
+
+
+@functools.partial(jax.jit, static_argnames=("freqs", "model"))
+def total_absorption_fused_tangents(freqs: tuple, p_hpa, t_k, rho_gm3,
+                                    lwc_gm3, model: str = "R24"):
+    """Fused absorption + elementwise partials: (N,) -> 3 x (F, N).
+
+    One dual-number pass of the SAME kernel body returns
+    (alpha, dalpha/dT, dalpha/drho) — the per-point setup (all the
+    transcendentals) is computed once and shared by value and tangents
+    inside VMEM, which is what makes the fast K-matrix cheap
+    (models/jacobians.py::kmatrix_batch_fast).  d(alpha)/d(lwc) is analytic
+    (Rayleigh absorption is linear in LWC) and d/dp is rarely requested;
+    both are handled by the caller.
+    """
+    n = p_hpa.shape[0]
+    block = BLOCK_ROWS * LANES
+    if n % block:
+        raise ValueError(f"N={n} not a multiple of {block}")
+    nf = len(freqs)
+    m = n // LANES
+    kernel = _build_kernel(model, tuple(freqs), with_tangents=True)
+    grid = (m // BLOCK_ROWS,)
+    tile = lambda a: a.reshape(m, LANES).astype(jnp.float32)
+    in_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((nf, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nf, m, LANES), jnp.float32)
+    alpha, da_dt, da_dr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] * 4,
+        out_specs=[out_spec] * 3,
+        out_shape=[out_shape] * 3,
+        interpret=(jax.default_backend() != "tpu"),
+    )(tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3))
+    return (alpha.reshape(nf, n), da_dt.reshape(nf, n),
+            da_dr.reshape(nf, n))
 
 
 def absorption_lb_fused(freqs: tuple, p, t, rho, lwc,
