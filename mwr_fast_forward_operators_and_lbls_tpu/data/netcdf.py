@@ -515,9 +515,13 @@ def write(path: str, ds: Dataset, version: int | None = None,
         if not cdf5 and nc_type in _CDF5_ONLY:
             nc_type = NC_INT
             data = data.astype("i4")
-        be = data.astype(_TYPEMAP[nc_type]) if nc_type != NC_CHAR else \
-            data.astype("S1")
-        raw = be.tobytes()
+        if nc_type == NC_CHAR:
+            raw = np.frombuffer(data.astype("S1").tobytes(), np.uint8)
+        else:
+            # one parallel native byteswap pass straight to on-disk bytes
+            # (no astype copy, no tobytes copy)
+            dt = np.dtype(_TYPEMAP[nc_type]).newbyteorder("=")
+            raw = native.encode_be(data.astype(dt, copy=False))
         vsize = len(raw) + _pad4(len(raw))
         var_entries.append((nm, var, nc_type, raw, vsize))
 
@@ -544,10 +548,16 @@ def write(path: str, ds: Dataset, version: int | None = None,
     for entry in var_entries:
         header_chunks.append(var_header(entry, offset))
         raw = entry[3]
-        pad = b"\x00" * _pad4(len(raw))
-        data_chunks.append(raw + pad)
-        offset += len(raw) + len(pad)
+        npad = _pad4(len(raw))
+        data_chunks.append(raw)
+        if npad:
+            data_chunks.append(b"\x00" * npad)
+        offset += len(raw) + npad
 
     with open(path, "wb") as fh:
-        for chunk in header_chunks + data_chunks:
+        for chunk in header_chunks:
             fh.write(chunk)
+        for chunk in data_chunks:
+            # numpy buffers are written zero-copy via the buffer protocol
+            fh.write(memoryview(chunk) if isinstance(chunk, np.ndarray)
+                     else chunk)

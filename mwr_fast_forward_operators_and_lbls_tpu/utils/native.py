@@ -85,6 +85,33 @@ def decode_be(buf: memoryview | bytes, dtype, count: int,
     return out
 
 
+def encode_be(arr: np.ndarray) -> np.ndarray:
+    """Native-endian array -> big-endian byte buffer (uint8 view).
+
+    The write-side mirror of `decode_be`: the OpenMP byteswap produces the
+    on-disk big-endian bytes in ONE parallel pass, replacing numpy's
+    single-threaded `astype('>f4').tobytes()` (which also costs an extra
+    full copy).  At campaign scale the results file is ~400 MB, so the
+    encode is a measurable slice of the forward stage.
+    """
+    a = np.ascontiguousarray(arr)
+    dt = a.dtype
+    if dt.itemsize == 1:
+        return a.reshape(-1).view(np.uint8)
+    lib = _load()
+    if lib is None:
+        return np.ascontiguousarray(
+            a.astype(dt.newbyteorder(">"))).reshape(-1).view(np.uint8)
+    out = np.empty(a.size * dt.itemsize, np.uint8)
+    rc = lib.ncio_byteswap(
+        out.ctypes.data_as(ctypes.c_void_p),
+        a.ctypes.data_as(ctypes.c_void_p), a.size, dt.itemsize)
+    if rc != 0:
+        return np.ascontiguousarray(
+            a.astype(dt.newbyteorder(">"))).reshape(-1).view(np.uint8)
+    return out
+
+
 def gather_records_be(buf, dtype, numrecs: int, recsize: int, per_rec: int,
                       begin: int) -> np.ndarray:
     """Strided record-variable gather + byteswap in one native pass."""

@@ -90,3 +90,15 @@ def test_read_many_netcdf(tmp_path):
     for i in range(4):
         np.testing.assert_array_equal(got[i]["x"].data,
                                       np.arange(5, dtype="f4") + i)
+
+
+def test_encode_be_matches_numpy():
+    """Write-side parallel byteswap (the decode_be mirror): identical bytes
+    to numpy's big-endian astype for every width, fallback included."""
+    rng = np.random.default_rng(7)
+    for dt in ("f4", "f8", "i4", "i2", "i8"):
+        a = rng.normal(0, 100, 1537).astype(dt)
+        got = native.encode_be(a)
+        ref = np.frombuffer(a.astype(np.dtype(dt).newbyteorder(">"))
+                            .tobytes(), np.uint8)
+        np.testing.assert_array_equal(got, ref)
