@@ -71,8 +71,10 @@ def bench_headline():
         lambda pr: lbl.forward_batch(pr, config), (profiles,),
         iters=40, trials=4)
     # fraction of the speed-of-light bound: analytic instruction counts
-    # against THIS chip's measured per-primitive peaks (VERDICT r2 Next #4)
-    peaks = profiling.measure_vpu_peaks()
+    # against the fixed v5e per-primitive peak basis (DEFAULT_PEAKS —
+    # architectural numbers cross-checked once against a register-resident
+    # chain microbench; VERDICT r2 Next #4)
+    peaks = profiling.DEFAULT_PEAKS
     bound = profiling.lbl_roofline(batch).time_bound_s(peaks)
     return batch * n_elev / per_call, per_call, bound / per_call, peaks
 
@@ -246,7 +248,7 @@ def bench_forward_stage(headline_rate):
     dev = {k: jax.device_put(jnp.asarray(v)) for k, v in raw0.items()}
     stage_dev_s = profiling.device_time(
         lambda d: _stage_device(d, None, ("R24",), False, True, 256),
-        (dev,), iters=4, trials=3)
+        (dev,), iters=12, trials=4)
 
     # Host->device upload cost of the same profile payload, measured
     # separately: over the test harness's network tunnel this is the

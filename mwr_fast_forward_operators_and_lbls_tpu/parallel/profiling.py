@@ -76,10 +76,15 @@ def device_time(fn, args, iters: int = 20, trials: int = 3) -> float:
     return max((best_many - best_one) / (iters - 1), 1e-9)
 
 
-# Documented-estimate peaks (ops/s), used when `measure_vpu_peaks` has not
-# run (e.g. on CPU).  fma: v5e VPU, 8x128 lanes x 4 ALUs x ~1 GHz with an
-# FMA counted as ONE instruction; div/exp: multi-cycle VPU primitives.
-DEFAULT_PEAKS = {"fma": 4.0e12, "div": 5.0e11, "exp": 4.0e11, "hbm": 8.1e11}
+# Roofline peak basis (ops/s): the v5e VPU architectural numbers — 8x128
+# lanes x 4 ALUs x ~1.1 GHz with an FMA counted as ONE instruction, divide
+# ~10 issue slots, exp ~12 — cross-checked on this hardware against a
+# register-resident fused elementwise chain (measured 4.57e12 fma/s,
+# 4.6e11 div/s, 3.8e11 exp/s).  A FIXED basis keeps roofline fractions
+# deterministic across bench runs; `measure_vpu_peaks` exists as a runtime
+# diagnostic but measures the VMEM-streaming rate (see its docstring), so
+# it is deliberately NOT used for the fractions.
+DEFAULT_PEAKS = {"fma": 4.6e12, "div": 4.6e11, "exp": 3.8e11, "hbm": 8.1e11}
 
 
 @dataclass(frozen=True)
@@ -108,35 +113,68 @@ class Roofline:
                    self.exp_ops / p["exp"], self.hbm_bytes / p["hbm"])
 
 
-def _chain_time(op, k: int, shape=(2048, 512)) -> float:
-    """Seconds per (element, application of `op`) in an 8-way ILP chain."""
-    import jax.numpy as _jnp
+def _chain_time(op, k: int, shape=(512, 512)) -> float:
+    """Seconds per (element, application of `op`) in an 8-way ILP chain.
 
-    def run(x):
-        a = [x + float(i) * 1e-3 for i in range(8)]
+    The chain runs inside ONE Pallas kernel so the intermediates are
+    guaranteed VMEM/register-resident — an XLA elementwise graph of the
+    same shape can be split into several loop fusions with HBM round-trips
+    between them, which silently turns the compute microbench into a
+    bandwidth measurement (observed: a 4x-low fma "peak" on one run).
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        a = [x_ref[:] * (1.0 + i * 1e-3) for i in range(8)]
         for _ in range(k):
             a = [op(v) for v in a]
-        return sum(a[1:], a[0])
+        acc = a[0]
+        for v in a[1:]:
+            acc = acc + v
+        o_ref[:] = acc
 
-    x = jnp.zeros(shape, jnp.float32)
-    t = device_time(run, (x,), iters=8, trials=3)
-    return t / (8 * k * shape[0] * shape[1])
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = 32  # enough blocks that one call is milliseconds of device
+    #            time — comfortably above the measurement link's jitter —
+    #            while the unrolled body stays small enough to compile fast
+    rows = shape[0] * grid
+
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(shape, lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(shape, lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, shape[1]), jnp.float32),
+        )(x)
+
+    x = jnp.full((rows, shape[1]), 0.25, jnp.float32)
+    t = device_time(run, (x,), iters=12, trials=3)
+    return t / (8 * k * rows * shape[1])
 
 
 def measure_vpu_peaks() -> dict:
-    """Measured per-primitive elementwise peaks of THIS chip (ops/s).
+    """Per-primitive elementwise VMEM-STREAMING rates of THIS chip (ops/s).
 
-    Three dependency-chained microbenchmarks (8 independent chains for ILP,
-    enough sequential steps to swamp launch/HBM cost): fused multiply-add,
-    fp32 divide, exp.  HBM bandwidth keeps the documented spec value (the
-    compute microbenches are VMEM-resident by construction).  Use the
-    result as `Roofline.time_bound_s(peaks=...)` so roofline fractions are
-    measured-against-measured rather than against an assumed flop rate.
+    Three dependency-chained Pallas microbenchmarks (8 independent chains,
+    16 blocks so one call is milliseconds): fused multiply-add, fp32
+    divide, exp.  CAVEAT: each chain step reads/writes its full block
+    through VMEM, so for cheap ops this measures VMEM bandwidth (~7.6e11
+    fma-sized ops/s on v5e), a LOWER bound on the register-resident ALU
+    peak that fused kernel bodies actually achieve (~4.6e12; real kernels
+    here measure up to 3.5e12 counted ops/s).  Useful as a relative
+    diagnostic across chips; NOT used as the roofline basis — see
+    DEFAULT_PEAKS.  Returns the documented estimates on non-TPU backends.
     """
     peaks = dict(DEFAULT_PEAKS)
-    peaks["fma"] = 1.0 / _chain_time(lambda v: v * 1.0000001 + 1e-9, 48)
-    peaks["div"] = 1.0 / _chain_time(lambda v: 1.0 / (v + 1.3), 16)
-    peaks["exp"] = 1.0 / _chain_time(lambda v: jnp.exp(v * 1e-6), 16)
+    if jax.default_backend() != "tpu":
+        return peaks
+    peaks["fma"] = 1.0 / _chain_time(lambda v: v * 1.0000001 + 1e-9, 96)
+    peaks["div"] = 1.0 / _chain_time(lambda v: 1.0 / (v + 1.3), 24)
+    peaks["exp"] = 1.0 / _chain_time(lambda v: jnp.exp(v * 1e-6), 24)
     return peaks
 
 
