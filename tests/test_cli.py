@@ -170,3 +170,28 @@ def test_cli_evaluate_full_matrix(raw, tmp_path):
     elevs = {r["elevation_deg"] for r in rows}
     assert len(elevs) == 10
     assert manifest["n_figures_total"] >= 4 * len(cells) - 4
+
+
+def test_campaign_demo_raw_generation(tmp_path):
+    """tools/campaign_demo.py's synthetic archive drives the multi-campaign
+    preprocess path (preprocess_campaigns = the reference's 5-glob __main__
+    loop, preprocessing4all.py:1251-1401): 3 campaigns concat on time with
+    Campaign/Location stamped per launch."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import campaign_demo
+
+    from mwr_fast_forward_operators_and_lbls_tpu.data import preprocess
+    specs = campaign_demo.generate_raws(str(tmp_path / "raw"), 6)
+    assert len(specs) == 3
+    ds = preprocess.preprocess_campaigns(specs)
+    assert ds.dims["time"] >= 5
+    camps = {str(c) for c in np.asarray(ds["Campaign"].data).astype(str)}
+    assert {"FESSTVaL", "Socles", "Vital-I"} <= camps
+    # launches span May-July (the seasonal-window matrix is exercisable)
+    t = np.asarray(ds["time"].data, "f8")
+    import datetime as dt
+    months = {dt.datetime.fromtimestamp(x, dt.timezone.utc).month
+              for x in t}
+    assert months & {5, 6} and months & {6, 7}
