@@ -263,8 +263,7 @@ def bench_forward_stage(headline_rate):
 
     spectra = n_time * 2 * 10           # time x crop x elevation
     rate = spectra / wall
-    rate_design = spectra / max(wall - upload, 1e-9)
-    return rate / headline_rate, rate, rate_design / headline_rate, stage_dev_s
+    return rate / headline_rate, rate, upload / wall, stage_dev_s
 
 
 N_STAGE_TIME = 1000
@@ -295,11 +294,13 @@ def main():
             bench_fast_serving() * 1e3, 3)
         extra["oem_retrieval_ms_per_profile"] = round(
             bench_retrieval() * 1e3, 3)
-        frac, stage_rate, frac_design, stage_dev_s = bench_forward_stage(rate)
+        frac, stage_rate, upload_frac, stage_dev_s = bench_forward_stage(rate)
         extra["forward_stage_spectra_per_s"] = round(stage_rate, 1)
         extra["forward_stage_frac_of_kernel"] = round(frac, 4)
-        # fraction with the (link-dependent) host->device upload excluded
-        extra["forward_stage_frac_excl_upload"] = round(frac_design, 3)
+        # fraction of the stage wall spent in the (link-dependent)
+        # host->device upload, measured separately; the device-resident
+        # stage time below is the design-quality metric
+        extra["forward_stage_upload_frac_of_wall"] = round(upload_frac, 3)
         # on-device time of the single-dispatch stage program (crop 0,
         # 1000 launches x 10 elevations, R24) vs the summed kernel time
         # for the same 10k spectra
