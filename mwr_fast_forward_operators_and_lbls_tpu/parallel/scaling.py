@@ -83,6 +83,22 @@ def measure(per_device_batch: int = 256, n_levels: int = 180,
             # n x efficiency).
             "sharding_overhead_eff": rate / base_rate_per_work,
         })
+    # Make the committed artifact self-describing (VERDICT r3 Next #7): a
+    # reader must not interpret `efficiency` as weak scaling when the mesh
+    # entries are virtual devices sharing one host's cores.
+    backend = jax.default_backend()
+    virtual = backend == "cpu"
+    for row in results:
+        row["platform"] = backend
+        row["note"] = (
+            "virtual single-host CPU mesh: all devices share the same "
+            "cores, so `efficiency` (per-device rate) necessarily drops "
+            "~1/n and is NOT a weak-scaling measurement; "
+            "`sharding_overhead_eff` (aggregate-rate invariance, ~1.0 = "
+            "communication-free sharding) is the meaningful column here"
+            if virtual else
+            "real multi-device mesh: `efficiency` is the weak-scaling "
+            "number (BASELINE target >= 0.90)")
     return results
 
 
