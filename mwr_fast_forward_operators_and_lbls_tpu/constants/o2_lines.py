@@ -267,9 +267,14 @@ MIXING_PROVENANCE = {
     "R17": "transcribed (same O2 table as R16)",
     "R19": "transcribed (Makarov et al. 2011 second-order fit, o2abs_19.f)",
     "R20": "carried-at-2011-fit (Makarov-2020 ECS refit not reproducible "
-           "offline; closure: tools/fit_tables.py)",
-    "R24": "carried-at-2011-fit mixing + transcribed Koshelev-2021 "
-           "118.75-GHz width/intensity update",
+           "offline; closure: tools/fit_tables.py --per-line fits "
+           "regularized per-line y/G/dnu deltas against an external "
+           "multi-temperature golden — recovery of an ECS-like "
+           "perturbation is pinned in tests/test_golden.py::"
+           "test_per_line_refit_recovers_ecs_perturbation)",
+    "R24": "carried-at-2011-fit mixing (same per-line closure path as "
+           "R20) + transcribed Koshelev-2021 118.75-GHz width/intensity "
+           "update",
 }
 
 

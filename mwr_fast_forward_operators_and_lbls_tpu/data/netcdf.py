@@ -52,11 +52,16 @@ def _pad4(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 class _Parser:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, path: str = "<bytes>"):
         self.buf = buf
         self.pos = 0
+        self.path = path
 
     def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError(
+                f"{self.path}: truncated or corrupt NetCDF header — needed "
+                f"{n} bytes at offset {self.pos}, file has {len(self.buf)}")
         b = self.buf[self.pos:self.pos + n]
         self.pos += n
         return b
@@ -91,7 +96,10 @@ class _Parser:
         n = self.size_t(cdf5)
         if tag == _ZERO:
             return {}
-        assert tag == _NC_ATTRIBUTE, tag
+        if tag != _NC_ATTRIBUTE:
+            raise ValueError(
+                f"{self.path}: corrupt NetCDF header — expected NC_ATTRIBUTE "
+                f"tag at offset {self.pos - 8}, got {tag}")
         out = {}
         for _ in range(n):
             nm = self.name(cdf5)
@@ -132,7 +140,7 @@ def read_classic_bytes(buf, path: str = "<bytes>",
     if version not in (1, 2, 5):
         raise ValueError(f"{path}: unsupported CDF version {version}")
     cdf5 = version == 5
-    p = _Parser(buf)
+    p = _Parser(buf, path)
     p.take(4)
     numrecs = p.size_t(cdf5)
     if numrecs in (0xFFFFFFFF, -1):
@@ -182,6 +190,16 @@ def read_classic_bytes(buf, path: str = "<bytes>",
             (numrecs or 0) if i == rec_dim else dims[i][1] for i in dimids)
         dnames = tuple(dims[i][0] for i in dimids)
         fixed_count = int(np.prod(shape[1:] if is_rec else shape, dtype=np.int64))
+        # Bounds check before any frombuffer: a truncated data region must
+        # name the variable, not surface as a numpy buffer-size error.
+        if is_rec and (numrecs or 0) > 0:
+            end = begin + (numrecs - 1) * recsize + fixed_count * dt.itemsize
+        else:
+            end = begin + fixed_count * dt.itemsize
+        if begin < 0 or ((numrecs or 0) > 0 or not is_rec) and end > len(buf):
+            raise ValueError(
+                f"{path}: truncated NetCDF file — variable {nm!r} data "
+                f"extends to byte {end} but the file has {len(buf)}")
         if nc_type == NC_CHAR:
             if is_rec:
                 parts = [np.frombuffer(buf, dt, fixed_count, begin + r * recsize)

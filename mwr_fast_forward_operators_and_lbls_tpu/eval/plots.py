@@ -231,6 +231,15 @@ def plot_model_vs_model_by_iwv(dev_x: np.ndarray, dev_y: np.ndarray,
         axis_len = 13.0
     valid = np.isfinite(x) & np.isfinite(y) & np.isfinite(colors)
     x, y, colors = x[valid], y[valid], colors[valid]
+    # Cap the collection size: beyond ~20k alpha-blended points the extra
+    # draws change no pixels but dominate render time at campaign scale.
+    # Deterministic stride, announced in the title — never a silent drop.
+    max_points = 20_000
+    subtitle = ""
+    if x.size > max_points:
+        stride = -(-x.size // max_points)
+        subtitle = f"\n(every {stride}th of {x.size} points)"
+        x, y, colors = x[::stride], y[::stride], colors[::stride]
 
     fig, ax = plt.subplots(figsize=(6, 5))
     sc = ax.scatter(x, y, c=colors, cmap="viridis", s=12, alpha=0.7)
@@ -247,7 +256,10 @@ def plot_model_vs_model_by_iwv(dev_x: np.ndarray, dev_y: np.ndarray,
     fig.colorbar(sc, ax=ax, label="IWV [kg m$^{-2}$]")
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
-    ax.set_title(title)
+    if subtitle:
+        ax.set_title(title + subtitle, fontsize=10)
+    else:
+        ax.set_title(title)
     return _finish(fig, path)
 
 
@@ -268,9 +280,12 @@ def plot_departures_vs_iwv(dev: np.ndarray, iwv: np.ndarray, path: str,
     if channel is not None:
         d = d[:, channel:channel + 1]
     d = d.reshape(d.shape[0], -1)
+    n_cols = min(d.shape[1], 64)
     fig, ax = plt.subplots(figsize=(6, 4))
-    for col in range(min(d.shape[1], 64)):
-        ax.scatter(iw, d[:, col], s=4, alpha=0.3, color="tab:blue")
+    # One collection for all columns (a per-column scatter loop costs one
+    # draw + autoscale pass per column — ~10x slower for identical pixels).
+    ax.scatter(np.tile(iw, n_cols), d[:, :n_cols].ravel(order="F"),
+               s=4, alpha=0.3, color="tab:blue")
     ax.axhline(0, color="black", lw=0.8)
     ax.set_xlabel("IWV [kg m$^{-2}$]")
     ax.set_ylabel(ylabel)

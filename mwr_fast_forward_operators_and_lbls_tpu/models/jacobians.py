@@ -116,6 +116,7 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     Returns {name: (B, E, F, L)} like `kmatrix_batch` (bitwise-comparable up
     to fp32 reassociation).
     """
+    from ..constants import physics as phys
     from ..ops import geometry, rte
     from ..ops.absorption import total_absorption
 
@@ -218,19 +219,48 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
     g_alpha, g_t_planck, g_ds = rte.downwelling_tb_adjoint(
         alpha, ds, t, f)                                     # (B, E, F, .)
 
-    # Geometry-path direct terms: contract dTB/dds with the geometry
-    # Jacobian via F cheap geometry VJPs per (b, e) — never materializing
-    # the (L-1, L) Jacobian.
-    def geo_pullback(ti, pi, ri, zi, el, gds_f):             # gds_f (F, L-1)
-        _, vjp = jax.vjp(lambda a, b2, c: geo_fn(a, b2, c, zi, el),
-                         ti, pi, ri)
-        return jax.vmap(vjp)(gds_f)                          # 3 x (F, L)
-    geo_t, geo_p, geo_rho = jax.vmap(jax.vmap(
-        geo_pullback, (None, None, None, None, 0, 0)),
-        (0, 0, 0, 0, None, 0))(t, p, rho, z, elevs, g_ds)    # (B, E, F, L)
+    # Geometry-path direct terms, assembled from the geometry Jacobian's
+    # closed-form sparsity instead of F autodiff pullbacks per (b, e)
+    # (VERDICT r3 Next #6 — those pullbacks were the K-matrix tail):
+    # ds_i depends ONLY on the layer-mean index n_layer_i = (n_i+n_{i+1})/2
+    # and on the scalar Snell invariant k = n_0*r_0*cos(el), so
+    #   dTB/dx_l |geo = 0.5*(A_l + A_{l-1}) * dn_l/dx_l
+    #                 + delta_{l,0} * S * r_0*cos(el) * dn_0/dx_0,
+    #   A_i = g_ds_i * d(ds_i)/d(n_layer_i),   S = sum_i g_ds_i * d(ds_i)/dk,
+    # with the elementwise refractivity partials dn/d(t,rho,p) from three
+    # cheap forward tangents shared across all elevations and channels.
+    geo_wrt = [n for n in wrt if n != "lwc"]
+    if geo_wrt:
+        def n_of(ti, ri, pi):
+            return geometry.refractive_index(pi, ti,
+                                             thermo.rho_to_e(ri, ti))
 
-    direct = {"t": g_t_planck + geo_t, "p": geo_p, "rho": geo_rho,
-              "lwc": None}
+        ones = jnp.ones_like(t)
+        n_lev, dn_t = jax.jvp(lambda v: n_of(v, rho, p), (t,), (ones,))
+        _, dn_rho = jax.jvp(lambda v: n_of(t, v, p), (rho,), (ones,))
+        _, dn_p = jax.jvp(lambda v: n_of(t, rho, v), (p,), (ones,))
+        dn = {"t": dn_t, "rho": dn_rho, "p": dn_p}           # (B, L)
+
+        dds_dnl, dds_dk = geometry.slant_path_sensitivities(
+            z[:, None], n_lev[:, None], elevs[None, :])      # (B, E, L-1) x2
+
+        a = g_ds * dds_dnl[:, :, None]                       # (B, E, F, L-1)
+        pad = [(0, 0)] * 3 + [(0, 1)]
+        c = 0.5 * (jnp.pad(a, pad) + jnp.pad(a, pad[:-1] + [(1, 0)]))
+        s_k = jnp.sum(g_ds * dds_dk[:, :, None], axis=-1)    # (B, E, F)
+        r0cos = ((phys.EARTH_RADIUS + z[:, :1])
+                 * jnp.cos(jnp.deg2rad(elevs))[None])        # (B, E)
+
+        direct = {"lwc": None}
+        for name in geo_wrt:
+            g = c * dn[name][:, None, None, :]               # (B, E, F, L)
+            g = g.at[..., 0].add(s_k * (r0cos[:, :, None]
+                                        * dn[name][:, None, :1]))
+            direct[name] = g
+        if "t" in direct:
+            direct["t"] = direct["t"] + g_t_planck
+    else:
+        direct = {"t": g_t_planck, "lwc": None}
 
     out = {}
     for name in wrt:

@@ -104,6 +104,56 @@ def slant_path_lengths_lb(z_m, p_hpa, t_k, e_hpa, elevation_deg):
     return ds_m * 1e-3
 
 
+def slant_path_sensitivities(z_m, n, elevation_deg):
+    """Closed-form partials of the per-layer slant paths.
+
+    The layer path ds_i (see `slant_path_lengths`) depends on the refractive
+    index ONLY through the layer mean n_layer_i = (n_i + n_{i+1})/2 and the
+    scalar Snell invariant k = n_0 * r_0 * cos(el) — the Jacobian
+    d(ds)/d(n levels) is tridiagonal-local plus a rank-one level-0 column.
+    This returns the two dense factors the K-matrix assembly needs
+    (models/jacobians.py::kmatrix_batch_fast), replacing per-channel
+    autodiff pullbacks through the geometry:
+
+      dds_dnlayer: d(ds_i [km]) / d(n_layer_i)        shape (..., L-1)
+      dds_dk:      d(ds_i [km]) / d(k [m])            shape (..., L-1)
+
+    Args:
+      z_m:  (..., L) level heights [m] (ascending).
+      n:    (..., L) refractive index per level.
+      elevation_deg: (...) elevation angle(s) [deg], broadcastable against
+        the leading dims of z_m/n.
+    """
+    z = jnp.asarray(z_m)
+    r = phys.EARTH_RADIUS + z
+    el = jnp.deg2rad(jnp.asarray(elevation_deg))[..., None]
+    k = n[..., :1] * r[..., :1] * jnp.cos(el)
+
+    n_layer = 0.5 * (n[..., :-1] + n[..., 1:])
+    rk = k / n_layer
+    r_bot, r_top = r[..., :-1], r[..., 1:]
+    seg_top = jnp.sqrt(jnp.maximum((r_top - rk) * (r_top + rk), 0.0))
+    seg_bot = jnp.sqrt(jnp.maximum((r_bot - rk) * (r_bot + rk), 0.0))
+    dz = z[..., 1:] - z[..., :-1]
+    denom = seg_top + seg_bot
+
+    # d(ds_m)/d(rk) = dz*(r_top+r_bot)/denom^2 * rk*(1/seg_top + 1/seg_bot),
+    # gated where the primal's sqrt/denominator clamps were active.
+    inv_top = jnp.where(seg_top > 0.0, 1.0 / jnp.maximum(seg_top, 1e-30),
+                        0.0)
+    inv_bot = jnp.where(seg_bot > 0.0, 1.0 / jnp.maximum(seg_bot, 1e-30),
+                        0.0)
+    denom_c = jnp.maximum(denom, 1.0)
+    dds_drk = jnp.where(
+        denom > 1.0,
+        dz * (r_top + r_bot) / (denom_c * denom_c) * rk
+        * (inv_top + inv_bot),
+        0.0)
+    dds_dnlayer = dds_drk * (-rk / n_layer) * 1e-3
+    dds_dk = dds_drk * (1.0 / n_layer) * 1e-3
+    return dds_dnlayer, dds_dk
+
+
 def airmass(z_m, p_hpa, t_k, e_hpa, elevation_deg):
     """Total slant path divided by vertical path (diagnostic)."""
     ds = slant_path_lengths(z_m, p_hpa, t_k, e_hpa, elevation_deg)

@@ -250,3 +250,113 @@ def test_full_cloud_pipeline_on_synthetic_sonde(tmp_path):
                                       prof.rh_pct)
     assert out["layers"].bases_m.size >= 1
     assert out["lwp_kg_m2"] > 0
+
+
+# -- Adversarial / corrupt inputs (VERDICT r3 Next #9) ------------------------
+# The reference's ingest surface is messy real-world files
+# (preprocessing4all.py:198-344, MWR_read_in_module.py:167-234); the codec
+# must fail with actionable messages, never uncaught struct/numpy errors.
+
+def _sample_ds():
+    ds = Dataset(attrs={"title": "adv"})
+    ds["a"] = (("time", "lev"), np.arange(40, dtype="f4").reshape(10, 4),
+               {"units": "K"})
+    ds["b"] = (("lev",), np.arange(4, dtype="i4"), {})
+    return ds
+
+
+@pytest.mark.parametrize("version", [2, 5])
+def test_netcdf_truncated_header_actionable(tmp_path, version):
+    path = str(tmp_path / "t.nc")
+    netcdf.write(path, _sample_ds(), version=version)
+    blob = open(path, "rb").read()
+    for cut in (5, 9, 17, 33):           # inside magic/dims/attrs/vars
+        short = str(tmp_path / f"cut{cut}.nc")
+        open(short, "wb").write(blob[:cut])
+        with pytest.raises(ValueError, match="truncated|corrupt|not a NetCDF"):
+            netcdf.read(short)
+
+
+@pytest.mark.parametrize("version", [2, 5])
+def test_netcdf_truncated_data_names_variable(tmp_path, version):
+    path = str(tmp_path / "t.nc")
+    netcdf.write(path, _sample_ds(), version=version)
+    blob = open(path, "rb").read()
+    short = str(tmp_path / "short.nc")
+    open(short, "wb").write(blob[:-9])   # header intact, data region short
+    with pytest.raises(ValueError, match="truncated"):
+        netcdf.read(short)
+
+
+def test_netcdf_bad_magic_and_version(tmp_path):
+    bad = str(tmp_path / "bad.nc")
+    open(bad, "wb").write(b"CDF\x07" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unsupported CDF version"):
+        netcdf.read_classic(bad)
+    open(bad, "wb").write(b"GIF89a" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unrecognized format|not a NetCDF"):
+        netcdf.read(bad)
+
+
+def test_netcdf_garbage_tag_actionable(tmp_path):
+    path = str(tmp_path / "t.nc")
+    netcdf.write(path, _sample_ds())
+    blob = bytearray(open(path, "rb").read())
+    blob[8:12] = (0x7F000000).to_bytes(4, "big")   # corrupt NC_DIMENSION tag
+    bad = str(tmp_path / "badtag.nc")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        netcdf.read(bad)
+
+
+def test_netcdf_hdf5_chunked_gzip_variables(tmp_path):
+    """Real HATPRO L1 NetCDF-4 files carry chunked+gzip variables; the HDF5
+    read path must decode them (MWR_read_in_module.py:167-234 surface)."""
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "chunked.nc")
+    data = np.arange(2000, dtype="f4").reshape(100, 20)
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("tb", data=data, chunks=(10, 20),
+                             compression="gzip", compression_opts=4)
+        d.attrs["units"] = "K"
+        d.attrs["_Netcdf4Dimid"] = 0
+        f.attrs["title"] = "chunked"
+    r = netcdf.read(path)
+    np.testing.assert_array_equal(r["tb"].data, data)
+    assert r["tb"].attrs["units"] == "K"
+
+
+def test_netcdf_hdf5_truncated_actionable(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    path = str(tmp_path / "whole.nc")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("x", data=np.arange(100000, dtype="f8"),
+                         compression="gzip")
+    blob = open(path, "rb").read()
+    bad = str(tmp_path / "trunc.nc")
+    open(bad, "wb").write(blob[: len(blob) // 3])
+    with pytest.raises((ValueError, OSError)):
+        netcdf.read(bad)
+
+
+def test_sonde_reader_rejects_garbage(tmp_path):
+    """A structurally-valid NetCDF carrying none of the known radiosonde
+    dialect variables is rejected through the validity protocol (an invalid
+    SondeProfile naming the problem), never a KeyError."""
+    path = str(tmp_path / "odd.nc")
+    ds = Dataset()
+    ds["unrelated"] = (("x",), np.arange(5, dtype="f4"), {})
+    netcdf.write(path, ds)
+    prof = radiosonde.read_radiosonde_nc(path)
+    assert not prof.valid
+    assert "dialect" in prof.reject_reason
+
+
+def test_sonde_reader_truncated_file_actionable(tmp_path):
+    path = str(tmp_path / "s.nc")
+    synthetic.write_sonde_nc_arms(path, seed=0)
+    blob = open(path, "rb").read()
+    bad = str(tmp_path / "strunc.nc")
+    open(bad, "wb").write(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        radiosonde.read_radiosonde_nc(bad)

@@ -339,3 +339,73 @@ def test_fit_tables_recovers_synthetic_retune():
     assert 1.02 < result["scales"]["h2o_s1"] < 1.06, result["scales"]
     # untouched knobs stay near 1
     assert 0.97 < result["scales"]["o2_s"] < 1.03
+
+
+def test_per_line_refit_recovers_ecs_perturbation():
+    """End-to-end closure check for the ECS-mixing gap (VERDICT r3 Next #2):
+    perturb the R19 O2 mixing tables per-line (smooth in the table's
+    N-ordering, like the Makarov-2020 ECS refit), synthesize an "external"
+    golden from the perturbed physics at multiple temperatures, and recover
+    the perturbation from the UNPERTURBED table with
+    `tools/fit_tables.py --per-line`."""
+    from tools import fit_tables
+    from mwr_fast_forward_operators_and_lbls_tpu.constants.o2_lines import (
+        O2_MODELS)
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.absorption import (
+        h2o_absorption, n2_absorption, o2_absorption)
+    from dataclasses import replace
+
+    with jax.enable_x64(True):
+        base = O2_MODELS["R19"]
+        n = base.f.size
+        idx = np.arange(n, dtype=np.float64)
+        # ECS-like injected deltas: smooth along the N-ordered table, only
+        # on the 60-GHz manifold + 118.75 lines (where mixing acts).
+        manifold = (np.asarray(base.f) > 50.0) & (np.asarray(base.f) < 120.0)
+        dy0 = 0.06 * np.max(np.abs(base.y0)) * np.sin(idx / 5.0) * manifold
+        dy1 = 0.08 * np.max(np.abs(base.y1)) * np.cos(idx / 7.0) * manifold
+        dg0 = 0.10 * max(np.max(np.abs(base.g0)), 0.01) \
+            * np.sin(idx / 6.0 + 1.0) * manifold
+        truth = replace(base, y0=base.y0 + dy0, y1=base.y1 + dy1,
+                        g0=base.g0 + dg0)
+
+        # Multi-temperature, multi-pressure golden over the V band (the
+        # band the ECS refit reshapes; single-T goldens cannot separate
+        # the y0/y1 and g0/g1 laws).
+        f = jnp.asarray(np.linspace(50.0, 68.0, 120), jnp.float64)
+        conds = [(1013.0, 300.0, 5.0), (1013.0, 250.0, 1.0),
+                 (700.0, 270.0, 2.0), (400.0, 230.0, 0.2),
+                 (850.0, 285.0, 8.0)]
+        hm = None
+        from mwr_fast_forward_operators_and_lbls_tpu.constants.h2o_lines \
+            import H2O_MODELS
+        hm = H2O_MODELS["R19"]
+        alpha = {}
+        for (p, t, rho) in conds:
+            e = rho * t / 217.0
+            a = (h2o_absorption(f, p, t, rho, hm)
+                 + o2_absorption(f, p, t, rho, truth)
+                 + n2_absorption(f, p - e, t, variant="R19"))
+            alpha[f"{p:g}_{t:g}_{rho:g}"] = [float(v) for v in np.asarray(a)]
+        golden = {"freqs_ghz": [float(v) for v in np.asarray(f)],
+                  "conditions": [list(c) for c in conds], "alpha": alpha}
+
+        result = fit_tables.fit_per_line(golden, "R19", steps=900,
+                                         lr=0.02, l2=1e-4, smooth=1e-4)
+
+    # absorption-space closure: the fitted table reproduces the external
+    # golden to well under the residual the carried table leaves
+    assert result["rms_log_residual_after"] < 1e-3, result[
+        "rms_log_residual_after"]
+    assert result["rms_log_residual_after"] < 0.05 * \
+        result["rms_log_residual_before"]
+
+    # parameter-space recovery: the fitted y0 deltas track the injected
+    # perturbation on the manifold lines (the dominant, well-identified
+    # direction; y1/g0 share sensitivity and are only loosely identified)
+    got = np.asarray(result["deltas"]["y0"])
+    w = manifold & (np.abs(dy0) > 0.2 * np.max(np.abs(dy0)))
+    corr = np.corrcoef(got[w], dy0[w])[0, 1]
+    assert corr > 0.9, corr
+    rel_l2 = np.linalg.norm(got[w] - dy0[w]) / np.linalg.norm(dy0[w])
+    assert rel_l2 < 0.5, rel_l2

@@ -95,3 +95,35 @@ def test_plot_single_sonde_bias_and_report(tmp_path):
     assert len(paths) == 6
     import os
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_full_report_parallel_matches_serial(tmp_path):
+    """The process-pool cell renderer (VERDICT r3 Next #3) produces the same
+    manifest (cells, figure sets, stats CSVs) as the in-process path."""
+    ds = _ds(n=12)
+    # two campaign/location pairs so there are >= 4 non-empty cells
+    camps = np.array(["FESSTVaL"] * 6 + ["Socles"] * 6)
+    locs = np.array(["Lindenberg"] * 6 + ["Cabauw"] * 6)
+    ds["Campaign"] = (("time",), camps, {})
+    ds["Location"] = (("time",), locs, {})
+
+    m_ser = report.full_report(ds, str(tmp_path / "serial"), n_workers=1)
+    m_par = report.full_report(ds, str(tmp_path / "parallel"), n_workers=2)
+    assert list(m_par["cells"]) == list(m_ser["cells"])
+    assert m_par["skipped"] == m_ser["skipped"]
+    assert m_par["n_figures_total"] == m_ser["n_figures_total"]
+    import os
+    for label, cell in m_par["cells"].items():
+        ser = m_ser["cells"][label]
+        assert cell["n_launches"] == ser["n_launches"]
+        assert sorted(cell["figures"]) == sorted(ser["figures"])
+        assert cell["stats_csv"] == ser["stats_csv"]
+        for fig in cell["figures"]:
+            assert os.path.exists(os.path.join(tmp_path, "parallel", fig))
+        # stats CSVs byte-identical between the two paths
+        if cell["stats_csv"]:
+            a = open(os.path.join(tmp_path, "parallel",
+                                  cell["stats_csv"])).read()
+            b = open(os.path.join(tmp_path, "serial",
+                                  ser["stats_csv"])).read()
+            assert a == b
