@@ -15,24 +15,39 @@ opacity, cumulative-opacity prefix scan, transmittance, source integration,
 reduction — inside VMEM, writing only the (E, F, B) results.  Useful HBM
 traffic drops from ~600 MB to ~19 MB per 1024-profile batch.
 
-Design decisions that matter on the hardware:
+Design decisions that matter on the hardware (round-4 revision, driven by
+the measured per-primitive decomposition in tools/perf_probe.py):
 
   * Grid is (batch-block, elevation) with ALL channels unrolled inside the
     kernel body: a per-(elevation, channel) grid would mean 1120 tiny steps
     whose fixed step overhead dominates the math.
-  * The cumulative-opacity prefix scan runs on the VPU as a doubling
-    (Hillis-Steele) scan over the sublane axis — 8 masked roll-adds for 180
-    levels — in *native fp32*.  An MXU triangular matmul is the obvious
-    alternative but Mosaic's in-kernel fp32 dot rounds through bf16 passes
-    (~5e-4 relative), which at tau ~ 100+ nepers costs ~0.1 K in TB; the
-    additive scan keeps the kernel bit-comparable to the XLA reference.
+  * The cumulative-opacity prefix scan runs on the MXU as a triangular
+    ones-matrix product, with the fp32 layer opacities split EXACTLY into
+    bf16 hi + lo halves (two matmuls, fp32 accumulation).  The MXU runs
+    concurrently with the VPU, so this removes the scan's ~16 vector
+    ops/element from the critical path entirely; the split reconstructs a
+    16-bit mantissa, bounding the tau error at ~6e-6 relative (~1e-3 K in
+    TB — measured, see tests/test_rte.py), where a single bf16 pass
+    (Mosaic's native in-kernel fp32 dot) would cost ~0.5 K.  The round-3
+    VPU doubling scan cost 8 masked shift-adds over the full tile per
+    channel — ~35 % of the kernel's issue slots.
+  * The linear-in-tau emission factor needs (trans_below - e_ctau) / dtau;
+    the fp32 divide is the VPU's slowest primitive and this was the ONLY
+    per-(layer, channel, elevation, point) divide in the kernel.  It is now
+    a multiply: 1/dtau = (1/alpha_mid) * (1/ds), where 1/alpha_mid is
+    hoisted per channel into scratch at the first elevation step (divides
+    amortized over the elevation sweep) and 1/ds = segsum * (1/dzr) reuses
+    the one unavoidable per-elevation divide (the Snell chord normalizer)
+    plus the hoisted 1/dzr.  Per-point divides drop ~6.5x.
   * The per-layer transmittance exp(-dtau) is recovered from consecutive
     cumulative transmittances (trans_below - e_ctau), so the kernel
     evaluates ONE exponential per (layer, elevation, channel) point
     instead of two.
-  * The Planck source profile and layer-mean absorption depend only on the
-    channel, so they are computed once per batch block (at the first
-    elevation grid step) and carried in VMEM scratch across the sweep.
+  * The Planck source profile, layer-mean absorption and its reciprocal
+    depend only on the channel, so they are computed once per batch block
+    (at the first elevation grid step) and carried in VMEM scratch across
+    the sweep.  Channel frequencies are compile-time immediates, so the
+    cosmic-background radiance folds at trace time.
 """
 
 from __future__ import annotations
@@ -77,11 +92,9 @@ def _inv_planck(x, b):
 def _cumsum_sublanes(x, n_rows: int):
     """Inclusive prefix sum along axis 0 (sublanes): doubling scan in fp32.
 
-    ceil(log2(n_rows)) shift-adds, with the shift expressed as a
-    zeros-concat (bit-identical to, and measured ~7 % faster than, a
-    rotate + iota-mask — no select and no wraparound rows to suppress).
-    fp32 arithmetic throughout; summation order differs from a serial
-    cumsum by O(eps * tau * log L), negligible."""
+    ceil(log2(n_rows)) shift-adds.  Retained for callers that need the
+    bit-exact fp32 summation (the spectral kernel); the channel RTE kernels
+    below use the MXU split-matmul scan instead."""
     shift = 1
     while shift < n_rows:
         zeros = jnp.zeros((shift,) + x.shape[1:], x.dtype)
@@ -90,89 +103,130 @@ def _cumsum_sublanes(x, n_rows: int):
     return x
 
 
-def _build_kernel(nf: int, l: int, alpha_is_mid: bool,
-                  small_dtau: float = 0.03, want_trans: bool = False):
-    lm1 = l - 1
-    # Pad the layer axis to a sublane multiple so the scan's roll operands
-    # stay tile-aligned; padded rows carry zero opacity and drop out.
-    lpad = -(-lm1 // 8) * 8
+def _pad16(n: int) -> int:
+    """Round up to the bf16 sublane tile (16 rows) for the MXU scan."""
+    return -(-n // 16) * 16
 
-    def kernel(f_ref, alpha_ref, ds_ref, t_ref,
+
+def _mxu_prefix_sum(d, tri_ref, lm1: int):
+    """Inclusive prefix sum of d (lm1, B) via two bf16 MXU matmuls.
+
+    d is padded with zero rows to the triangular matrix's size and split
+    exactly into bf16 hi + lo (hi = rn(d), lo = rn(d - hi)): the matmuls
+    accumulate in fp32, so the result carries a 16-bit mantissa of each
+    addend — relative error ~6e-6, measured ~1e-3 K in TB.  Zero padding is
+    REQUIRED: the ones-matrix multiplies every row, and 0 x garbage from
+    uninitialized scratch would poison the sums."""
+    lpad = tri_ref.shape[0]
+    if lpad != lm1:
+        d = jnp.concatenate(
+            [d, jnp.zeros((lpad - lm1, d.shape[-1]), jnp.float32)], axis=0)
+    d_hi = d.astype(jnp.bfloat16)
+    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tri = tri_ref[:]
+    ctau = (jnp.dot(tri, d_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(tri, d_lo, preferred_element_type=jnp.float32))
+    return ctau[:lm1]
+
+
+def _channel_emission(x: float, b, d, inv_d, ctau, l: int,
+                      small_dtau: float, want_trans, trans_row):
+    """Per-channel downwelling integration given layer opacities.
+
+    Args:
+      x: h*nu/k in K (Python float — folds at trace time).
+      b: (L, B) Planck radiance profile.
+      d: (L-1, B) layer opacities.
+      inv_d: (L-1, B) reciprocal opacities (see module docstring).
+      ctau: (L-1, B) inclusive cumulative opacity from the scan.
+      trans_row: callback(e_ctau) writing the transmittance profile row.
+
+    Returns (tb, tau_total, t_mr) each (1, B).
+    """
+    lm1 = l - 1
+    e_ctau = jnp.exp(-ctau)
+    trans_below = jnp.concatenate(
+        [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)
+    if want_trans:
+        trans_row(e_ctau)
+
+    # Linear-in-tau source integration without a second exponential:
+    #   atm = sum_l B_bot*delta + (B_top - B_bot)*g_top*trans_below
+    # with delta = trans_below - e_ctau and
+    #      g_top * trans_below = delta * inv_d - e_ctau.
+    # Both cancel catastrophically as d -> 0; 3-term series (error
+    # O(d^4)) take over below `small_dtau` (see rte._emission_factors).
+    small = d < small_dtau
+    tbd = trans_below * d
+    delta_exact = trans_below - e_ctau
+    delta = jnp.where(
+        small, tbd * (1.0 - d * (0.5 - d * (1.0 / 6.0))), delta_exact)
+    gtop_tb = jnp.where(
+        small, tbd * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
+        delta_exact * inv_d - e_ctau)
+    b_bot, b_top = b[:-1], b[1:]
+    bd = b_top - b_bot
+    contrib = b_bot * delta + bd * gtop_tb
+    atm = jnp.sum(contrib, axis=0, keepdims=True)        # (1, B)
+
+    tau_total = ctau[lm1 - 1:lm1]
+    trans_total = e_ctau[lm1 - 1:lm1]
+    # y = x/T_cosmic ~ 1 is NOT small: exp(y)-1 is O(1), safe — and x is a
+    # trace-time float, so cosmic0 is a compile-time constant.
+    cosmic0 = x / (np.exp(x / phys.T_COSMIC) - 1.0)
+    tb = _inv_planck(x, atm + cosmic0 * trans_total)
+    tmr = _inv_planck(x, atm / jnp.maximum(1.0 - trans_total, 1e-10))
+    return tb, tau_total, tmr
+
+
+def _build_kernel(freqs, l: int, alpha_is_mid: bool,
+                  small_dtau: float = 0.03, want_trans: bool = False):
+    """RTE kernel over precomputed slant path lengths (E, L-1, B)."""
+    lm1 = l - 1
+    nf = len(freqs)
+
+    def kernel(tri_ref, alpha_ref, ds_ref, t_ref,
                tb_ref, tau_ref, tmr_ref, *rest):
         if want_trans:
-            trans_ref, b_scr, amid_scr = rest
+            trans_ref, b_scr, amid_scr, inva_scr = rest
         else:
-            b_scr, amid_scr = rest
+            b_scr, amid_scr, inva_scr = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
         def _():
             t = t_ref[:]
-            for fi in range(nf):
-                x = phys.HK_GHZ * f_ref[fi]
-                b_scr[fi] = _planck(x, t)
+            for fi, fch in enumerate(freqs):
+                b_scr[fi] = _planck(float(phys.HK_GHZ * fch), t)
                 a = alpha_ref[fi]
-                # Level absorption averages to layers; predictor-regression
-                # operators supply layer-mean extinction directly.
-                amid_scr[fi, :lm1] = a if alpha_is_mid \
-                    else 0.5 * (a[:-1] + a[1:])
+                amid = a if alpha_is_mid else 0.5 * (a[:-1] + a[1:])
+                amid_scr[fi, :lm1] = amid
+                inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
 
         ds = ds_ref[0]                                   # (L-1, B)
-        zeros_pad = jnp.zeros((lpad - lm1, ds.shape[-1]), jnp.float32) \
-            if lpad != lm1 else None
-        for fi in range(nf):
-            x = phys.HK_GHZ * f_ref[fi]
-            b = b_scr[fi]
-            b_bot, b_top = b[:-1], b[1:]
+        inv_ds = 1.0 / jnp.maximum(ds, 1e-30)
+        for fi, fch in enumerate(freqs):
+            x = float(phys.HK_GHZ * fch)
+            d = amid_scr[fi, :lm1] * ds
+            inv_d = inva_scr[fi, :lm1] * inv_ds
+            ctau = _mxu_prefix_sum(d, tri_ref, lm1)
 
-            d = amid_scr[fi, :lm1] * ds                  # layer opacities
-            if zeros_pad is not None:
-                d = jnp.concatenate([d, zeros_pad], axis=0)
-            ctau = _cumsum_sublanes(d, lm1)
-            e_ctau = jnp.exp(-ctau)                      # trans to layer top
-            trans_below = jnp.concatenate(
-                [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
-            e_ctau_v = e_ctau[:lm1]
-            d = d[:lm1]
-            if want_trans:
-                # Ground -> level transmittance profile, streamed straight
-                # from the in-VMEM scan (no XLA fallback; the (E, F, L, B)
-                # write is the inherent output traffic and nothing more).
+            def trans_row(e_ctau, fi=fi):
                 trans_ref[0, fi, 0:1] = jnp.ones(
                     (1, e_ctau.shape[-1]), jnp.float32)
-                trans_ref[0, fi, 1:l] = e_ctau_v
+                trans_ref[0, fi, 1:l] = e_ctau
 
-            # Linear-in-tau source integration without a second exponential:
-            #   atm = sum_l B_bot*delta + (B_top - B_bot)*g_top*trans_below
-            # with delta = trans_below - e_ctau and
-            #      g_top * trans_below = delta / d - e_ctau.
-            # Both cancel catastrophically as d -> 0; 3-term series (error
-            # O(d^4)) take over below `small_dtau` (see rte._emission_factors).
-            small = d < small_dtau
-            dd = jnp.where(small, 1.0, d)
-            delta_exact = trans_below - e_ctau_v
-            delta = jnp.where(
-                small, trans_below * d * (1.0 - d * (0.5 - d * (1.0 / 6.0))),
-                delta_exact)
-            gtop_tb = jnp.where(
-                small, trans_below * d * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
-                delta_exact / dd - e_ctau_v)
-            contrib = b_bot * delta + (b_top - b_bot) * gtop_tb
-            atm = jnp.sum(contrib, axis=0, keepdims=True)    # (1, B)
-
-            tau_total = ctau[lm1 - 1:lm1]
-            trans_total = e_ctau[lm1 - 1:lm1]
-            # y = x/T_cosmic ~ 1 is NOT small: exp(y)-1 is O(1), safe.
-            cosmic0 = x / (jnp.exp(x * (1.0 / phys.T_COSMIC)) - 1.0)
-            tb_ref[0, fi:fi + 1] = _inv_planck(x, atm + cosmic0 * trans_total)
-            tau_ref[0, fi:fi + 1] = tau_total
-            tmr_ref[0, fi:fi + 1] = _inv_planck(
-                x, atm / jnp.maximum(1.0 - trans_total, 1e-10))
+            tb, tau, tmr = _channel_emission(
+                x, b_scr[fi], d, inv_d, ctau, l, small_dtau,
+                want_trans, trans_row)
+            tb_ref[0, fi:fi + 1] = tb
+            tau_ref[0, fi:fi + 1] = tau
+            tmr_ref[0, fi:fi + 1] = tmr
 
     return kernel
 
 
-def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
+def _build_geo_kernel(freqs, l: int, alpha_is_mid: bool,
                       small_dtau: float = 0.03, want_trans: bool = False):
     """Kernel variant with the refraction-bent slant-path geometry fused in.
 
@@ -180,19 +234,22 @@ def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
     elevations) costs ~0.2 ms at production shapes — mostly HBM round trips
     for the (E, L-1, B) path-length tensor and its intermediates.  Here the
     elevation-independent pieces (refractive layer index, dz * (r_top +
-    r_bot)) are computed once into scratch and each elevation grid step
-    derives its Snell chord lengths in VMEM: two sqrts and a divide per
-    layer point, amortized over the 14-channel body.
+    r_bot), and the 1/dzr and 1/n_layer reciprocals) are computed once into
+    scratch and each elevation grid step derives its Snell chord lengths in
+    VMEM: two sqrts and ONE divide per layer point, amortized over the
+    14-channel body.
     """
     lm1 = l - 1
-    lpad = -(-lm1 // 8) * 8
+    nf = len(freqs)
 
-    def kernel(f_ref, cos_ref, alpha_ref, z_ref, n_ref, t_ref,
-               tb_ref, tau_ref, tmr_ref, *rest):
+    def kernel(cos_ref, alpha_ref, z_ref, n_ref, t_ref,
+               tri_ref, tb_ref, tau_ref, tmr_ref, *rest):
         if want_trans:
-            trans_ref, b_scr, amid_scr, r_scr, nlay_scr, dzr_scr = rest
+            (trans_ref, b_scr, amid_scr, inva_scr, r_scr, invn_scr,
+             dzr_scr, invdzr_scr) = rest
         else:
-            b_scr, amid_scr, r_scr, nlay_scr, dzr_scr = rest
+            (b_scr, amid_scr, inva_scr, r_scr, invn_scr,
+             dzr_scr, invdzr_scr) = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
@@ -202,68 +259,60 @@ def _build_geo_kernel(nf: int, l: int, alpha_is_mid: bool,
             n = n_ref[:]
             r = phys.EARTH_RADIUS + z
             r_scr[:] = r
-            nlay_scr[:lm1] = 0.5 * (n[:-1] + n[1:])
+            invn_scr[:lm1] = 1.0 / (0.5 * (n[:-1] + n[1:]))
             # dz * (r_top + r_bot), with the m -> km conversion folded in.
-            dzr_scr[:lm1] = (z[1:] - z[:-1]) * ((r[1:] + r[:-1]) * 1e-3)
-            for fi in range(nf):
-                x = phys.HK_GHZ * f_ref[fi]
-                b_scr[fi] = _planck(x, t)
+            dzr = (z[1:] - z[:-1]) * ((r[1:] + r[:-1]) * 1e-3)
+            dzr_scr[:lm1] = dzr
+            invdzr_scr[:lm1] = 1.0 / jnp.maximum(dzr, 1e-30)
+            for fi, fch in enumerate(freqs):
+                b_scr[fi] = _planck(float(phys.HK_GHZ * fch), t)
                 a = alpha_ref[fi]
-                amid_scr[fi, :lm1] = a if alpha_is_mid \
-                    else 0.5 * (a[:-1] + a[1:])
+                amid = a if alpha_is_mid else 0.5 * (a[:-1] + a[1:])
+                amid_scr[fi, :lm1] = amid
+                inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
 
         # Snell-invariant chord lengths for this elevation
         # (ops/geometry.slant_path_lengths_lb, cancellation-safe form).
         r = r_scr[:]
         k = (n_ref[0:1] * r[0:1]) * cos_ref[e_idx]       # (1, B) invariant
-        rk = k / nlay_scr[:lm1]
+        rk = k * invn_scr[:lm1]
         r_bot, r_top = r[:-1], r[1:]
         seg_top = jnp.sqrt(jnp.maximum((r_top - rk) * (r_top + rk), 0.0))
         seg_bot = jnp.sqrt(jnp.maximum((r_bot - rk) * (r_bot + rk), 0.0))
-        # dzr carries the m -> km factor, so ds = dzr / segsum is in km.
-        ds = dzr_scr[:lm1] / jnp.maximum(seg_top + seg_bot, 1.0)
+        segsum = jnp.maximum(seg_top + seg_bot, 1.0)
+        # dzr carries the m -> km factor, so ds = dzr / segsum is in km; the
+        # reciprocal chord normalizer is the only per-elevation divide.
+        inv_seg = 1.0 / segsum
+        ds = dzr_scr[:lm1] * inv_seg
+        inv_ds = segsum * invdzr_scr[:lm1]
 
-        for fi in range(nf):
-            x = phys.HK_GHZ * f_ref[fi]
-            b = b_scr[fi]
-            b_bot, b_top = b[:-1], b[1:]
+        for fi, fch in enumerate(freqs):
+            x = float(phys.HK_GHZ * fch)
             d = amid_scr[fi, :lm1] * ds
-            if lpad != lm1:
-                d = jnp.concatenate(
-                    [d, jnp.zeros((lpad - lm1, d.shape[-1]), jnp.float32)],
-                    axis=0)
-            ctau = _cumsum_sublanes(d, lm1)
-            e_ctau = jnp.exp(-ctau)
-            trans_below = jnp.concatenate(
-                [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)[:lm1]
-            e_ctau_v = e_ctau[:lm1]
-            d = d[:lm1]
-            if want_trans:
+            inv_d = inva_scr[fi, :lm1] * inv_ds
+            ctau = _mxu_prefix_sum(d, tri_ref, lm1)
+
+            def trans_row(e_ctau, fi=fi):
                 trans_ref[0, fi, 0:1] = jnp.ones(
                     (1, e_ctau.shape[-1]), jnp.float32)
-                trans_ref[0, fi, 1:l] = e_ctau_v
-            small = d < small_dtau
-            dd = jnp.where(small, 1.0, d)
-            delta_exact = trans_below - e_ctau_v
-            delta = jnp.where(
-                small, trans_below * d * (1.0 - d * (0.5 - d * (1.0 / 6.0))),
-                delta_exact)
-            gtop_tb = jnp.where(
-                small, trans_below * d * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
-                delta_exact / dd - e_ctau_v)
-            contrib = b_bot * delta + (b_top - b_bot) * gtop_tb
-            atm = jnp.sum(contrib, axis=0, keepdims=True)
+                trans_ref[0, fi, 1:l] = e_ctau
 
-            tau_total = ctau[lm1 - 1:lm1]
-            trans_total = e_ctau[lm1 - 1:lm1]
-            cosmic0 = x / (jnp.exp(x * (1.0 / phys.T_COSMIC)) - 1.0)
-            tb_ref[0, fi:fi + 1] = _inv_planck(
-                x, atm + cosmic0 * trans_total)
-            tau_ref[0, fi:fi + 1] = tau_total
-            tmr_ref[0, fi:fi + 1] = _inv_planck(
-                x, atm / jnp.maximum(1.0 - trans_total, 1e-10))
+            tb, tau, tmr = _channel_emission(
+                x, b_scr[fi], d, inv_d, ctau, l, small_dtau,
+                want_trans, trans_row)
+            tb_ref[0, fi:fi + 1] = tb
+            tau_ref[0, fi:fi + 1] = tau
+            tmr_ref[0, fi:fi + 1] = tmr
 
     return kernel
+
+
+def _tri_ones(lm1: int) -> jax.Array:
+    """Lower-triangular inclusive ones matrix for the MXU prefix scan,
+    padded to the bf16 sublane tile.  Ones are exact in bf16."""
+    lpad = _pad16(lm1)
+    return jnp.asarray(np.tril(np.ones((lpad, lpad), np.float32)),
+                       jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("freqs", "elevations",
@@ -290,7 +339,6 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
     Returns dict with tb / tau_total / t_mr (E, F, B) and, when requested,
     trans_level (E, F, L, B).
     """
-    f_arr = jnp.asarray(freqs, jnp.float32)
     cos_arr = jnp.cos(jnp.deg2rad(jnp.asarray(elevations, jnp.float32)))
     nf, l_in, b = alpha.shape
     l = l_in + 1 if alpha_is_mid else l_in
@@ -298,10 +346,10 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
     lm1 = l - 1
     if b % LANES:
         raise ValueError(f"B={b} not a multiple of {LANES}")
-    lpad = -(-lm1 // 8) * 8
+    lpad = _pad16(lm1)
 
     grid = (b // LANES, e)
-    kernel = _build_geo_kernel(nf, l, alpha_is_mid,
+    kernel = _build_geo_kernel(tuple(freqs), l, alpha_is_mid,
                                want_trans=want_trans_level)
     lvl_spec = pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
                             memory_space=pltpu.VMEM)
@@ -319,24 +367,26 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nf,), lambda i, ei: (0,),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((e,), lambda i, ei: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nf, l_in, LANES), lambda i, ei: (0, 0, i),
                          memory_space=pltpu.VMEM),
             lvl_spec, lvl_spec, lvl_spec,
+            pl.BlockSpec((lpad, lpad), lambda i, ei: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((l, LANES), jnp.float32),
+                        pltpu.VMEM((lpad, LANES), jnp.float32),
                         pltpu.VMEM((lpad, LANES), jnp.float32),
                         pltpu.VMEM((lpad, LANES), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(f_arr, cos_arr, alpha.astype(jnp.float32), z_m.astype(jnp.float32),
-      n_refr.astype(jnp.float32), t_k.astype(jnp.float32))
+    )(cos_arr, alpha.astype(jnp.float32), z_m.astype(jnp.float32),
+      n_refr.astype(jnp.float32), t_k.astype(jnp.float32), _tri_ones(lm1))
     out = {"tb": outs[0], "tau_total": outs[1], "t_mr": outs[2]}
     if want_trans_level:
         out["trans_level"] = outs[3]
@@ -364,7 +414,6 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
     Returns dict with tb / tau_total / t_mr (E, F, B) and, when requested,
     trans_level (E, F, L, B).
     """
-    f_arr = jnp.asarray(freqs, jnp.float32)
     nf, l_in, b = alpha.shape
     l = l_in + 1 if alpha_is_mid else l_in
     e, lm1, _ = ds_km.shape
@@ -372,10 +421,10 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
         raise ValueError(f"ds_km layers {lm1} != levels-1 {l - 1}")
     if b % LANES:
         raise ValueError(f"B={b} not a multiple of {LANES}")
-    lpad = -(-lm1 // 8) * 8
+    lpad = _pad16(lm1)
 
     grid = (b // LANES, e)
-    kernel = _build_kernel(nf, l, alpha_is_mid,
+    kernel = _build_kernel(tuple(freqs), l, alpha_is_mid,
                            want_trans=want_trans_level)
     out_spec = pl.BlockSpec((1, nf, LANES), lambda i, ei: (ei, 0, i),
                             memory_space=pltpu.VMEM)
@@ -391,8 +440,8 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nf,), lambda i, ei: (0,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((lpad, lpad), lambda i, ei: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nf, l_in, LANES), lambda i, ei: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lm1, LANES), lambda i, ei: (ei, 0, i),
@@ -403,9 +452,10 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(f_arr, alpha.astype(jnp.float32), ds_km.astype(jnp.float32),
+    )(_tri_ones(lm1), alpha.astype(jnp.float32), ds_km.astype(jnp.float32),
       t_k.astype(jnp.float32))
     out = {"tb": outs[0], "tau_total": outs[1], "t_mr": outs[2]}
     if want_trans_level:
