@@ -273,6 +273,23 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
         pda = p - pvap
         th1 = ti - 1.0
 
+        # Trace-time exponential memoization: the line tables reuse
+        # temperature exponents heavily (O2 has 30 unique `be` of 49 lines;
+        # H2O's b2*(1-ti) is the same -th1 family), so exp(c * log_ti) and
+        # exp(c * th1) are cached on the Python-float coefficient — each
+        # distinct exponent costs ONE transcendental per point.
+        _memo_logti, _memo_th1 = {}, {}
+
+        def exp_logti(c: float):
+            if c not in _memo_logti:
+                _memo_logti[c] = _exp(c * log_ti)
+            return _memo_logti[c]
+
+        def exp_th1(c: float):
+            if c not in _memo_th1:
+                _memo_th1[c] = _exp(c * th1)
+            return _memo_th1[c]
+
         # ---- H2O resonant lines -------------------------------------------
         # acc_h2o[ch] accumulates sum_l s_l * res_l / fl^2; scaled by
         # 0.3183e-4 * 3.344e16 * rho * f^2 at the end.
@@ -285,7 +302,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
         # halves collapses any number of them into TWO fma per (line,
         # channel) on the hoisted per-point tensors (sw, sw*w^2) — same
         # algebra as evaluating each half, just reassociated at trace time.
-        ti2 = _exp(2.5 * log_ti)
+        ti2 = exp_logti(2.5)
         inv_cut2 = 1.0 / cut2
         invc2_sq = inv_cut2 * inv_cut2
         acc_h2o = [None] * nf
@@ -296,10 +313,11 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             m2 = [abs(f + fl) < cut for f in freqs_np]
             if not (any(m1) or any(m2)):
                 continue
-            width = float(h2o_w3[li]) * pda * _exp(float(h2o_x[li]) * log_ti) \
-                + float(h2o_ws[li]) * pvap * _exp(float(h2o_xs[li]) * log_ti)
+            width = float(h2o_w3[li]) * pda * exp_logti(float(h2o_x[li])) \
+                + float(h2o_ws[li]) * pvap * exp_logti(float(h2o_xs[li]))
             wsq = width * width
-            s = float(h2o_s1[li]) * ti2 * _exp(float(h2o_b2[li]) * (1.0 - ti))
+            # b2*(1-ti) = -b2*th1 — same memo family as the O2 strengths.
+            s = float(h2o_s1[li]) * ti2 * exp_th1(-float(h2o_b2[li]))
             sw = s * width
             swsq = sw * wsq
             # Clough base: cut^2 >> w^2, so the series is exact to ~1e-10.
@@ -318,9 +336,9 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             sd_nodes = None
             if float(h2o_w2[li]) != 0.0 or float(h2o_ws2[li]) != 0.0:
                 gamma2 = (float(h2o_w2[li]) * pda
-                          * _exp(float(h2o_x[li]) * log_ti)
+                          * exp_logti(float(h2o_x[li]))
                           + float(h2o_ws2[li]) * pvap
-                          * _exp(float(h2o_xs[li]) * log_ti))
+                          * exp_logti(float(h2o_xs[li])))
                 c0 = width - 1.5 * gamma2
                 sd_nodes = []
                 for xi, wi in zip(_GL_X, _GL_W):
@@ -333,6 +351,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                     continue
                 a_c = b_c = 0.0          # trace-time far-half constants
                 sres = None              # tensor part from near halves
+                near_d = []              # detuning^2 of plain near halves
                 if m1[ci]:
                     if sd_nodes is not None:
                         qsum = None
@@ -345,15 +364,25 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                         a_c += inv - inv_cut2
                         b_c += inv * inv - invc2_sq
                     else:
-                        sres = sw / (wsq + d1sq) - sbase
+                        near_d.append(d1sq)
                 if m2[ci]:
                     if wmax_sq < VERY_FAR_R * d2sq:
                         inv = 1.0 / d2sq
                         a_c += inv - inv_cut2
                         b_c += inv * inv - invc2_sq
                     else:
-                        t2 = sw / (wsq + d2sq) - sbase
-                        sres = t2 if sres is None else sres + t2
+                        near_d.append(d2sq)
+                if len(near_d) == 2:
+                    # Both halves near-resonant (the 22-GHz line seen from
+                    # the K band): share ONE hardware divide —
+                    # sw/(w2+c1) + sw/(w2+c2) = sw(2w2+c1+c2)/((w2+c1)(w2+c2))
+                    c1, c2 = near_d
+                    t2 = (sw * (2.0 * wsq + (c1 + c2))) \
+                        / ((wsq + c1) * (wsq + c2)) - 2.0 * sbase
+                    sres = t2 if sres is None else sres + t2
+                elif near_d:
+                    t2 = sw / (wsq + near_d[0]) - sbase
+                    sres = t2 if sres is None else sres + t2
                 contrib = None
                 if sres is not None:
                     contrib = inv_fl2 * sres
@@ -365,11 +394,11 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
         h2o_scale = (0.3183e-4 * 3.344e16) * rho
 
         # H2O continuum base (per channel: * f^2)
-        con_b = (h2o.cf * _exp(h2o.xcf * log_ti) * pda
-                 + h2o.cs * _exp(h2o.xcs * log_ti) * pvap) * pvap
+        con_b = (h2o.cf * exp_logti(h2o.xcf) * pda
+                 + h2o.cs * exp_logti(h2o.xcs) * pvap) * pvap
 
         # ---- O2: resonant lines + nonresonant Debye ------------------------
-        b = _exp(o2.x * log_ti)
+        b = exp_logti(o2.x)
         den = 0.001 * (pda * b + o2.h2o_factor * pvap * ti)
         dfnr = o2.wb300 * den
         dfnr2 = dfnr * dfnr
@@ -377,14 +406,18 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
         ybase = 0.001 * p * b if o2.mixing_basis == "p" else den
         pe2 = den * den if o2_second else None
 
-        # Pass 1 — per-line point tensors, hoisted over channels.
+        # Pass 1 — per-line point tensors, hoisted over channels.  The four
+        # strength-folded products A = s*dfg, B = s*yy, C = A*df^2,
+        # E = B*df^2 are what both the far folds and the near numerators
+        # are linear in, so four extra multiplies per LINE here remove
+        # three multiplies per (line, channel) below.
         o2_lines = []
         for li in range(o2_f.size):
             df = float(o2_w300[li]) * den
             yy = ybase * (float(o2_y0[li]) + float(o2_y1[li]) * th1)
             # strength with the 1/f0^2 prefactor folded in
             strength = float(o2_s300[li] / o2_f[li] ** 2) \
-                * _exp(-float(o2_be[li]) * th1)
+                * exp_th1(-float(o2_be[li]))
             # Second-order mixing (R19+): G scales the width numerator once
             # per line (shared across channels); delta-nu shifts the line
             # center, which only matters for near-resonant pairs — at "very
@@ -399,21 +432,28 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                 dnu = pe2 * (float(o2_dnu0[li]) + float(o2_dnu1[li]) * th1)
             else:
                 dnu = None
-            o2_lines.append((float(o2_f[li]), df * df, yy, strength, dfg,
-                             dnu, float(o2_dfmax[li]) ** 2))
+            dfsq = df * df
+            a_l = strength * dfg
+            b_l = strength * yy
+            o2_lines.append((float(o2_f[li]), dfsq, a_l, b_l,
+                             a_l * dfsq, b_l * dfsq, dnu,
+                             float(o2_dfmax[li]) ** 2))
 
-        # Pass 2 — per channel: far halves fold into 4 trace-time constants
-        # (with num_i = dfg + c_i*yy, the 2-term series sum over far halves
-        # is dfg*K1 + yy*K2 - df^2*(dfg*K3 + yy*K4)); near halves become
-        # strength-folded (P, D) rationals and are merged PAIRWISE ACROSS
-        # LINES (P_a/D_a + P_b/D_b = (P_a D_b + P_b D_a)/(D_a D_b)) so the
-        # V-band's ~40 near lines per channel cost ~20 hardware divides
-        # instead of ~40 — the fp32 divide is the VPU's slowest primitive.
+        # Pass 2 — per channel: far halves fold into 4 trace-time constants,
+        # applied to the hoisted (A, B, C, E) stacks as FOUR fma per (line,
+        # channel) — A*k1 + B*k2 - C*k3 - E*k4 is the 2-term series sum over
+        # that line's far halves.  Near halves become (P, D) rationals with
+        # P = A + d*B (one fma; d trace-time unless the line has a pressure
+        # shift) and are merged through a DEPTH-2 tree across lines
+        # (pairs, then pairs-of-pairs) so four near halves share ONE
+        # hardware divide — the fp32 divide is the VPU's slowest primitive.
+        # Depth 2 is the fp32 limit: denominators reach ~1e-4 GHz^2 at the
+        # profile top, and an 8-way product (~1e-32) would underflow.
         acc_o2 = [None] * nf
         for ci, fch in enumerate(freqs_np):
             acc = None
             near = []                     # (P, D) near-half rationals
-            for f0, dfsq, yy, strength, dfg, dnu, dfmax_sq in o2_lines:
+            for f0, dfsq, a_l, b_l, c_l, e_l, dnu, dfmax_sq in o2_lines:
                 d1sq = (fch - f0) ** 2
                 d2sq = (fch + f0) ** 2
                 vf1 = dfmax_sq < VERY_FAR_R * d1sq
@@ -428,39 +468,41 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                     # near-resonant with a pressure-shifted center: the
                     # detuning (and so the denominator) is tile-valued.
                     d1 = (fch - f0) - dnu
-                    near.append((strength * (dfg + d1 * yy),
-                                 dfsq + d1 * d1))
+                    near.append((a_l + d1 * b_l, dfsq + d1 * d1))
                 else:
-                    near.append((strength * (dfg + (fch - f0) * yy),
-                                 dfsq + d1sq))
+                    near.append((a_l + (fch - f0) * b_l, dfsq + d1sq))
                 if vf2:
                     inv = 1.0 / d2sq
                     c2 = -(fch + f0)
                     k1 += inv; k2 += c2 * inv
                     k3 += inv * inv; k4 += c2 * inv * inv
                 else:
-                    near.append((strength * (dfg - (fch + f0) * yy),
-                                 dfsq + d2sq))
+                    near.append((a_l - (fch + f0) * b_l, dfsq + d2sq))
                 if k1 or k2:
-                    far = strength * ((dfg * k1 + yy * k2)
-                                      - dfsq * (dfg * k3 + yy * k4))
+                    far = (a_l * k1 + b_l * k2) - (c_l * k3 + e_l * k4)
                     acc = far if acc is None else acc + far
+            pairs = []
             for j in range(0, len(near) - 1, 2):
                 (pa, da), (pb, db) = near[j], near[j + 1]
+                pairs.append((pa * db + pb * da, da * db))
+            if len(near) % 2:
+                pairs.append(near[-1])
+            for j in range(0, len(pairs) - 1, 2):
+                (pa, da), (pb, db) = pairs[j], pairs[j + 1]
                 merged = (pa * db + pb * da) / (da * db)
                 acc = merged if acc is None else acc + merged
-            if len(near) % 2:
-                pa, da = near[-1]
+            if len(pairs) % 2:
+                pa, da = pairs[-1]
                 acc = pa / da if acc is None else acc + pa / da
             acc_o2[ci] = acc
         o2_scale = o2.scale * pda * ti * ti * ti
 
         # ---- dry (N2/pressure-induced) continuum base ---------------------
         if model == "R98":
-            n2_b = 6.4e-14 * pda * pda * _exp(3.55 * log_ti)
+            n2_b = 6.4e-14 * pda * pda * exp_logti(3.55)
             n2_fdep = [1.0] * nf
         else:
-            n2_b = 6.5e-14 * pda * pda * _exp(3.6 * log_ti)
+            n2_b = 6.5e-14 * pda * pda * exp_logti(3.6)
             n2_fdep = [0.5 + 0.5 / (1.0 + (f / 450.0) ** 2) for f in freqs_np]
 
         # ---- ozone rotational lines (ARMS-gb parity) ----------------------
@@ -472,10 +514,10 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             for li in range(o3_fl.size):
                 fl = float(o3_fl[li])
                 width = float(o3_w3[li]) * p \
-                    * _exp(float(o3_x[li]) * log_ti)
+                    * exp_logti(float(o3_x[li]))
                 wsq = width * width
                 s = float(o3_s1[li]) * ti2 \
-                    * _exp(float(o3_b2[li]) * (1.0 - ti))
+                    * exp_th1(-float(o3_b2[li]))
                 sw = s * width
                 inv_fl2 = 1.0 / (fl * fl)
                 wmax_sq = float(o3_wmax[li]) ** 2
@@ -491,11 +533,12 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                         else acc_o3[ci] + contrib
 
         # ---- cloud liquid (Liebe-Hufford-Manabe dielectric) ---------------
-        theta1 = 1.0 - 300.0 / t
-        eps0 = 77.66 - 103.3 * theta1
+        # theta1 = 1 - 300/T = -th1, so the Debye relaxation exponential
+        # joins the th1 memo family.
+        eps0 = 77.66 + 103.3 * th1
         eps1 = 0.0671 * eps0
         eps2 = 3.52
-        inv_fp = _exp(-7.88 * theta1) * (1.0 / 20.1)
+        inv_fp = exp_th1(7.88) * (1.0 / 20.1)
         inv_fs = inv_fp * (1.0 / 39.8)
         d01 = eps0 - eps1
         w_scaled = -0.06286 * w
@@ -509,12 +552,16 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             line_sum = acc_o2[ci] if acc_o2[ci] is not None else 0.0
             o2_alpha = _max0(o2_scale * (f2 * line_sum + nonres))
 
+            # Debye terms share their reciprocals between Re and Im:
+            # three divides per channel instead of five.
             u = fch * inv_fp
             vv = fch * inv_fs
             uu1 = 1.0 + u * u
             vv1 = 1.0 + vv * vv
-            re = eps2 + d01 / uu1 + (eps1 - eps2) / vv1
-            im = -d01 * u / uu1 - (eps1 - eps2) * vv / vv1
+            ra = d01 / uu1
+            rb = (eps1 - eps2) / vv1
+            re = eps2 + ra + rb
+            im = -(ra * u + rb * vv)
             aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
             liq = (fch * aimag) * w_scaled
 
