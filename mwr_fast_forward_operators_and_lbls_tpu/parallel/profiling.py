@@ -178,6 +178,172 @@ def measure_vpu_peaks() -> dict:
     return peaks
 
 
+# --------------------------------------------------------------------------
+# Refined (measured) pipeline model: EXACT per-primitive counts from the
+# traced kernel jaxprs x the fixed per-primitive issue-rate basis, combined
+# ADDITIVELY over the VPU categories (they share one issue port) with the
+# MXU running concurrently.  The strict `Roofline` above is a lower bound
+# from idealized physics-op counts; this model prices what the kernels
+# actually issue — data movement (scan shifts, stacks, layout ops), both
+# branches of masked series, dual-number tangents — so measured/model is
+# the honest "how close to the metal" number (VERDICT r3 Next #1).
+# --------------------------------------------------------------------------
+
+# Primitive -> category.  movs (copies, slices, concats, converts) issue on
+# the vector port like cheap ALU ops; sqrt shares the slow-divide pipe.
+_FMA_PRIMS = frozenset(
+    "add sub mul max min neg abs sign select_n lt le gt ge eq ne and or xor "
+    "not integer_pow floor ceil round is_finite".split())
+_MOV_PRIMS = frozenset(
+    "slice concatenate broadcast_in_dim get swap convert_element_type "
+    "reshape transpose rev pad squeeze expand_dims copy iota".split())
+_DIV_PRIMS = frozenset("div sqrt rsqrt".split())
+_EXP_PRIMS = frozenset("exp log exp2 log1p expm1 tanh".split())
+
+
+def _find_pallas_eqns(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            out.append(eqn)
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                _find_pallas_eqns(v.jaxpr, out)
+    return out
+
+
+def _count_jaxpr(jaxpr, counts):
+    import numpy as np
+
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        subs = [v for v in eqn.params.values() if hasattr(v, "jaxpr")]
+        if subs:
+            for v in subs:
+                _count_jaxpr(v.jaxpr, counts)
+            continue
+        n = max((int(np.prod(ov.aval.shape)) for ov in eqn.outvars
+                 if hasattr(ov.aval, "shape")), default=1)
+        if name == "dot_general":
+            out_n = n
+            lhs = eqn.invars[0].aval.shape
+            dnums = eqn.params["dimension_numbers"]
+            k = 1
+            for d in dnums[0][0]:
+                k *= lhs[d]
+            counts["mxu_macs"] += out_n * k
+        elif name in ("reduce_sum", "reduce_max", "reduce_min",
+                      "reduce_prod", "argmax", "argmin"):
+            n_in = max(int(np.prod(iv.aval.shape)) for iv in eqn.invars
+                       if hasattr(iv.aval, "shape"))
+            counts["fma"] += n_in
+        elif name in _DIV_PRIMS:
+            counts["div"] += n
+        elif name in _EXP_PRIMS:
+            counts["exp"] += n
+        elif name in _FMA_PRIMS:
+            counts["fma"] += n
+        elif name in _MOV_PRIMS:
+            counts["mov"] += n
+        else:
+            counts["other"] += n
+
+
+def _count_fused_pairs(jaxpr) -> float:
+    """Element-weighted count of multiply ops whose ONLY consumer is an
+    add/sub — the pattern the VPU issues as a single fused multiply-add.
+    Each such pair reduces the raw (mul + add) count by one issue slot."""
+    import numpy as np
+    from collections import defaultdict
+
+    uses = defaultdict(int)
+    mul_out = {}
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            subs = [v for v in eqn.params.values() if hasattr(v, "jaxpr")]
+            if subs:
+                for v in subs:
+                    walk(v.jaxpr)
+                continue
+            for iv in eqn.invars:
+                if hasattr(iv, "aval") and not hasattr(iv, "val"):
+                    uses[id(iv)] += 1
+            if eqn.primitive.name == "mul" and len(eqn.outvars) == 1:
+                ov = eqn.outvars[0]
+                n = int(np.prod(ov.aval.shape)) if hasattr(ov.aval, "shape") \
+                    else 1
+                mul_out[id(ov)] = n
+
+    pairs = 0.0
+
+    def walk2(jx):
+        nonlocal pairs
+        for eqn in jx.eqns:
+            subs = [v for v in eqn.params.values() if hasattr(v, "jaxpr")]
+            if subs:
+                for v in subs:
+                    walk2(v.jaxpr)
+                continue
+            if eqn.primitive.name in ("add", "sub"):
+                for iv in eqn.invars:
+                    n = mul_out.get(id(iv))
+                    if n is not None and uses[id(iv)] == 1:
+                        pairs += n
+                        break        # one fused operand per add
+
+    walk(jaxpr)
+    walk2(jaxpr)
+    return pairs
+
+
+def count_pallas_ops(fn, *args) -> dict:
+    """Exact per-primitive element counts of every Pallas kernel reached by
+    `fn(*args)`: each kernel-body primitive weighted by its output element
+    count and the kernel's grid size.  `fused_pairs` is the element-weighted
+    number of (mul -> single add/sub consumer) pairs the VPU issues as one
+    fma.  Host-side (non-Pallas) XLA ops are not counted — for the
+    production forward they are a few relayouts measured separately as
+    "glue" (tools/perf_probe.py)."""
+    import numpy as np
+
+    jx = jax.make_jaxpr(fn)(*args)
+    counts = {"fma": 0.0, "mov": 0.0, "div": 0.0, "exp": 0.0,
+              "mxu_macs": 0.0, "other": 0.0, "fused_pairs": 0.0}
+    for pc in _find_pallas_eqns(jx.jaxpr, []):
+        gm = pc.params.get("grid_mapping")
+        steps = int(np.prod(gm.grid)) if gm is not None and gm.grid else 1
+        inner = {k: 0.0 for k in counts}
+        _count_jaxpr(pc.params["jaxpr"], inner)
+        inner["fused_pairs"] = _count_fused_pairs(pc.params["jaxpr"])
+        for k in counts:
+            counts[k] += inner[k] * steps
+    return counts
+
+
+# Measured MXU peak (bf16 MACs/s, fp32 accumulate) for the overlap term.
+DEFAULT_PEAKS.setdefault("mxu", 1.97e14)
+
+
+def pipeline_model_time(counts: dict, peaks: dict | None = None) -> float:
+    """Additive issue-time model of one kernel invocation, seconds.
+
+    VPU categories serialize on the shared vector issue port, so their
+    times ADD; the MXU runs concurrently, so the model is
+    max(VPU additive time, MXU time).  The raw fma-class count is
+    discounted by the jaxpr-derived `fused_pairs` (a multiply feeding its
+    single add/sub consumer issues as ONE fma) — a structural property of
+    the traced kernel, not a per-run fit.
+    """
+    p = peaks or DEFAULT_PEAKS
+    lane_ops = (counts["fma"] - counts.get("fused_pairs", 0.0)
+                + counts["mov"] + counts["other"])
+    vpu = (lane_ops / p["fma"]
+           + counts["div"] / p["div"]
+           + counts["exp"] / p["exp"])
+    mxu = counts["mxu_macs"] / p.get("mxu", 1.97e14)
+    return max(vpu, mxu)
+
+
 def spectral_roofline(n_points: int, n_freqs: int, n_h2o_lines: int = 15,
                       n_o2_lines: int = 49) -> Roofline:
     """Instruction accounting of the spectral Pallas kernel

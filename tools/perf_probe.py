@@ -68,6 +68,17 @@ def main():
     peaks = profiling.DEFAULT_PEAKS
     spectra = b * len(elevs)
 
+    # refined (measured) pipeline model: exact jaxpr counts x issue rates
+    c_abs = profiling.count_pallas_ops(
+        lambda p_, t_, r_, w_: absorption_lb_fused(freqs, p_, t_, r_, w_,
+                                                   "R24"),
+        pt, tt, rt, wt)
+    c_rte = profiling.count_pallas_ops(
+        lambda a_, z_, n_, t_: forward_lb_fused(freqs, elevs, a_, z_, n_, t_),
+        alpha, zt, n, tt)
+    m_abs = profiling.pipeline_model_time(c_abs, peaks)
+    m_rte = profiling.pipeline_model_time(c_rte, peaks)
+
     out = {
         "batch": b,
         "platform": jax.devices()[0].platform,
@@ -88,6 +99,15 @@ def main():
         "additive_bound_ms": round(
             (roof.fma_ops / peaks["fma"] + roof.div_ops / peaks["div"]
              + roof.exp_ops / peaks["exp"]) * 1e3, 4),
+        "refined_model_abs_ms": round(m_abs * 1e3, 4),
+        "refined_model_rte_ms": round(m_rte * 1e3, 4),
+        "refined_frac_abs": round(m_abs / t_abs, 3),
+        "refined_frac_rte": round(m_rte / t_rte, 3),
+        "refined_frac_full": round((m_abs + m_rte) / t_full, 3),
+        "counts_abs_per_pt": {k: round(v / (b * 180), 1)
+                              for k, v in c_abs.items()},
+        "counts_rte_per_pt": {k: round(v / (b * 180), 1)
+                              for k, v in c_rte.items()},
     }
     print(json.dumps(out, indent=1))
 
