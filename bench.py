@@ -306,10 +306,11 @@ def bench_forward_stage(headline_rate):
                              lev_var(profs["z"]))
     ds["Level_Liquid"] = Variable(("N_Levels", "time", "Crop"), lev_var(liq))
 
-    # warm the executables on a tiny slice so the measurement below is
-    # steady-state pipeline throughput, not compile time
-    warm = ds.isel(time=slice(0, 256))
-    forward_stage(warm, models=("R24",), batch_size=256, fused=True)
+    # warm the executables at the MEASURED shape so the measurement below is
+    # steady-state pipeline throughput, not compile time (a smaller warm-up
+    # slice compiles a different stage program and the measured wall becomes
+    # one giant recompile — the r3/r4 "stage frac" collapse)
+    forward_stage(ds, models=("R24",), batch_size=256, fused=True)
 
     t0 = time.perf_counter()
     forward_stage(ds, models=("R24",), batch_size=256, fused=True)
