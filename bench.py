@@ -164,11 +164,11 @@ def bench_kmatrix(forward_per_call):
                               jax.devices()[0])
     per_call = profiling.device_time(
         lambda pr: jacobians.kmatrix_batch_fast(pr, cfg), (profiles,),
-        iters=6, trials=3)
+        iters=10, trials=4)
     fwd_cfg = lbl.LBLConfig(model="R24", use_pallas=True, outputs=("tb",))
     fwd_256 = profiling.device_time(
         lambda pr: lbl.forward_batch(pr, fwd_cfg), (profiles,),
-        iters=20, trials=3)
+        iters=40, trials=4)
 
     # stage 1: the dual-number absorption tangent kernel alone
     tT = profiles["t"].T
@@ -189,27 +189,43 @@ def bench_kmatrix(forward_per_call):
         lambda *a: ak.total_absorption_fused_tangents(freqs, *a, "R24"),
         args_flat, iters=10, trials=3)
 
-    # stage 2: the closed-form RTE adjoint alone (alpha and ds precomputed)
+    # stage 2: the fused adjoint+assembly kernel alone (one invocation per
+    # variable; alpha and the geometry factors precomputed) — replaces the
+    # r3 XLA closed-form adjoint that materialized ~12 (B, E, F, L)
+    # intermediates in HBM and dominated the K-matrix
+    from mwr_fast_forward_operators_and_lbls_tpu.constants import physics
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas.adjoint_kernel \
+        import kmatrix_assembled_lb
+
     alpha = ak.total_absorption_fused(freqs, *args_flat, "R24")
-    alpha_b = alpha[:, :n].reshape(14, 180, batch).transpose(2, 0, 1)
+    alpha_lb = alpha[:, :n].reshape(14, 180, batch)
     elevs = jnp.asarray(cfg.elevations_deg)
-    t_b, p_b, rho_b, z_b = (profiles[k] for k in ("t", "p", "rho", "z"))
-
-    def geo_fn(ti, pi, ri, zi, el):
-        return geometry.slant_path_lengths(
-            zi, pi, ti, thermo.rho_to_e(ri, ti), el)
-
-    ds = jax.vmap(lambda el: jax.vmap(geo_fn, (0, 0, 0, 0, None))(
-        t_b, p_b, rho_b, z_b, el))(elevs).transpose(1, 0, 2)
-    f_arr = jnp.asarray(cfg.freqs_ghz)
+    tT = profiles["t"].T
+    pT = profiles["p"].T
+    rhoT = profiles["rho"].T
+    zT = profiles["z"].T
+    e_hpa = thermo.rho_to_e(rhoT, tT)
+    ds = jax.vmap(lambda el: geometry.slant_path_lengths_lb(
+        zT, pT, tT, e_hpa, el))(elevs)
+    n_lev = geometry.refractive_index(pT, tT, e_hpa)
+    dds_dnl, dds_dk = geometry.slant_path_sensitivities(
+        zT.T[:, None], n_lev.T[:, None], elevs[None, :])
+    dds_dnl = dds_dnl.transpose(1, 2, 0)
+    dds_dk = dds_dk.transpose(1, 2, 0)
+    r0cos = ((physics.EARTH_RADIUS + zT[0])[None, :]
+             * jnp.cos(jnp.deg2rad(elevs))[:, None])
+    dn_t = jnp.ones_like(tT) * 1e-6
     t_adj = profiling.device_time(
-        lambda a, d: rte.downwelling_tb_adjoint(a, d, t_b, f_arr)[0],
-        (alpha_b, ds), iters=10, trials=3)
+        lambda a, da: kmatrix_assembled_lb(
+            freqs, "t", a, da, ds, tT, dds_dnl, dds_dk, dn_t, r0cos),
+        (alpha_lb, alpha_lb), iters=10, trials=3)
 
     decomp = {
         "tangent_kernel_ms": round(t_tan * 1e3, 3),
-        "rte_adjoint_ms": round(t_adj * 1e3, 3),
-        "geometry_assembly_ms": round((per_call - t_tan - t_adj) * 1e3, 3),
+        "adjoint_assembly_t_ms": round(t_adj * 1e3, 3),
+        "note": "stages measured STANDALONE; inside the fused call they "
+                "pipeline with the layout restores, so the sum of parts "
+                "can differ from kmatrix_ms_per_batch256",
     }
     return per_call, per_call / fwd_256, decomp
 

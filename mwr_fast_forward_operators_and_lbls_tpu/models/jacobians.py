@@ -152,47 +152,25 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
         fused = (jax.default_backend() == "tpu"
                  and set(wrt) <= {"t", "rho", "lwc"})
     if fused:
-        from ..ops.pallas import absorption_kernel as ak
+        # Fully fused lanes pipeline: ONE dual-number absorption pass, then
+        # ONE adjoint+assembly Pallas kernel per requested variable
+        # (ops/pallas/adjoint_kernel.py) — the XLA closed-form adjoint
+        # below materializes ~12 (B, E, F, L) intermediates in HBM and was
+        # the dominant K-matrix stage (bench.py kmatrix_decomp_ms).
+        return _kmatrix_batch_fused_lanes(
+            z, p, t, rho, lwc, config, wrt, tT, rhoT, lwcT, pT)
+    def absorb(tt, rr, ww, pp):
+        return total_absorption(f[:, None, None], pp[None], tt[None],
+                                rr[None], ww[None], model=config.model)
 
-        n = l_n * b_n
-        block = ak.BLOCK_ROWS * ak.LANES
-        n_pad = -(-n // block) * block
-
-        def flat(a, fill):                                   # (L, B) -> (N,)
-            v = a.reshape(-1)
-            if n_pad != n:
-                v = jnp.concatenate(
-                    [v, jnp.full(n_pad - n, fill, v.dtype)])
-            return v
-
-        a_fn, da_t, da_rho = ak.total_absorption_fused_tangents(
-            tuple(float(x) for x in np.asarray(config.freqs_ghz)),
-            flat(pT, 500.0), flat(tT, 250.0), flat(rhoT, 0.1),
-            flat(lwcT, 0.0), config.model)
-
-        def unflat(x):                                       # -> (B, F, L)
-            return x[:, :n].reshape(f_n, l_n, b_n).transpose(2, 0, 1)
-
-        alpha = unflat(a_fn)
-        partials = {}
-        if "t" in wrt:
-            partials["t"] = unflat(da_t)
-        if "rho" in wrt:
-            partials["rho"] = unflat(da_rho)
-        alpha_lb = a_fn[:, :n].reshape(f_n, l_n, b_n)
-    else:
-        def absorb(tt, rr, ww, pp):
-            return total_absorption(f[:, None, None], pp[None], tt[None],
-                                    rr[None], ww[None], model=config.model)
-
-        alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
-        ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
-        seeds = {"t": (ones, zero, zero, zero),
-                 "rho": (zero, ones, zero, zero),
-                 "p": (zero, zero, zero, ones)}
-        partials = {name: lin(*seeds[name]).transpose(2, 0, 1)  # (B, F, L)
-                    for name in wrt if name != "lwc"}
-        alpha = alpha_lb.transpose(2, 0, 1)                  # (B, F, L)
+    alpha_lb, lin = jax.linearize(absorb, tT, rhoT, lwcT, pT)
+    ones, zero = jnp.ones_like(tT), jnp.zeros_like(tT)
+    seeds = {"t": (ones, zero, zero, zero),
+             "rho": (zero, ones, zero, zero),
+             "p": (zero, zero, zero, ones)}
+    partials = {name: lin(*seeds[name]).transpose(2, 0, 1)  # (B, F, L)
+                for name in wrt if name != "lwc"}
+    alpha = alpha_lb.transpose(2, 0, 1)                      # (B, F, L)
     if "lwc" in wrt:
         # Cloud absorption is exactly linear in LWC (Rayleigh regime), so
         # d(alpha)/d(lwc) is liquid_absorption at unit content — one direct
@@ -268,6 +246,104 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
         if direct.get(name) is not None:
             k = k + direct[name]
         out[name] = k
+    return out
+
+
+def _kmatrix_batch_fused_lanes(z, p, t, rho, lwc, config, wrt,
+                               tT, rhoT, lwcT, pT):
+    """The all-Pallas K-matrix pipeline in the lanes-batch layout.
+
+    Stage 1: one dual-number pass of the fused absorption kernel gives
+    alpha and its elementwise (dT, drho) tangent fields.  Stage 2: ONE
+    adjoint+assembly kernel per requested variable
+    (ops/pallas/adjoint_kernel.py) computes the closed-form RTE adjoint,
+    multiplies in the tangent field, and folds the Planck and refraction
+    direct paths — all inside VMEM, writing only the assembled K slices.
+    The batch-major public layout is restored at the end (the only
+    relayouts in the path).
+    """
+    from ..constants import physics as phys
+    from ..ops import geometry
+    from ..ops.pallas import absorption_kernel as ak
+    from ..ops.pallas.adjoint_kernel import kmatrix_assembled_lb
+
+    b_n, l_n = t.shape
+    f_n = len(config.freqs_ghz)
+    elevs = jnp.asarray(config.elevations_deg, t.dtype)
+
+    lanes = ak.LANES
+    bp = -(-b_n // lanes) * lanes
+
+    def padb(a):                                 # (..., B) -> (..., Bp)
+        if bp == b_n:
+            return a
+        pad = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (bp - b_n,))
+        return jnp.concatenate([a, pad], axis=-1)
+
+    tTp, rhoTp, lwcTp, pTp, zTp = map(padb, (tT, rhoT, lwcT, pT, z.T))
+
+    n = l_n * bp
+    block = ak.BLOCK_ROWS * ak.LANES
+    n_pad = -(-n // block) * block
+
+    def flat(a, fill):
+        v = a.reshape(-1)
+        if n_pad != n:
+            v = jnp.concatenate([v, jnp.full(n_pad - n, fill, v.dtype)])
+        return v
+
+    freqs = tuple(float(x) for x in np.asarray(config.freqs_ghz))
+    a_fn, da_t, da_rho = ak.total_absorption_fused_tangents(
+        freqs, flat(pTp, 500.0), flat(tTp, 250.0), flat(rhoTp, 0.1),
+        flat(lwcTp, 0.0), config.model)
+
+    def lb(x):                                   # (F, Npad) -> (F, L, Bp)
+        return x[:, :n].reshape(f_n, l_n, bp)
+
+    alpha_lb = lb(a_fn)
+    da = {}
+    if "t" in wrt:
+        da["t"] = lb(da_t)
+    if "rho" in wrt:
+        da["rho"] = lb(da_rho)
+    if "lwc" in wrt:
+        # Cloud absorption is exactly linear in LWC (Rayleigh regime):
+        # d(alpha)/d(lwc) is liquid_absorption at unit content.
+        from ..ops.absorption import liquid_absorption
+        f = jnp.asarray(config.freqs_ghz, t.dtype)
+        da["lwc"] = jnp.broadcast_to(
+            liquid_absorption(f[:, None, None], tTp[None],
+                              jnp.ones_like(tTp)[None]), alpha_lb.shape)
+
+    # geometry, directly in lanes: paths, sensitivities, refractivity
+    # tangents (all elevation-stacked small tensors)
+    e_hpa = thermo.rho_to_e(rhoTp, tTp)
+    ds = jax.vmap(lambda el: geometry.slant_path_lengths_lb(
+        zTp, pTp, tTp, e_hpa, el))(elevs)        # (E, L-1, Bp)
+
+    def n_of(ti, ri, pi):
+        return geometry.refractive_index(pi, ti, thermo.rho_to_e(ri, ti))
+
+    ones = jnp.ones_like(tTp)
+    n_lev, dn_t = jax.jvp(lambda v: n_of(v, rhoTp, pTp), (tTp,), (ones,))
+    _, dn_rho = jax.jvp(lambda v: n_of(tTp, v, pTp), (rhoTp,), (ones,))
+    dds_dnl, dds_dk = geometry.slant_path_sensitivities(
+        zTp.T[:, None], n_lev.T[:, None], elevs[None, :])   # (Bp, E, L-1)
+    dds_dnl = dds_dnl.transpose(1, 2, 0)         # (E, L-1, Bp)
+    dds_dk = dds_dk.transpose(1, 2, 0)
+    r0cos = ((phys.EARTH_RADIUS + zTp[0])[None, :]
+             * jnp.cos(jnp.deg2rad(elevs))[:, None])        # (E, Bp)
+    dn = {"t": dn_t, "rho": dn_rho}
+
+    out = {}
+    for name in wrt:
+        if name in ("t", "rho"):
+            k = kmatrix_assembled_lb(freqs, name, alpha_lb, da[name], ds,
+                                     tTp, dds_dnl, dds_dk, dn[name], r0cos)
+        else:
+            k = kmatrix_assembled_lb(freqs, name, alpha_lb, da[name], ds,
+                                     tTp)
+        out[name] = k.transpose(3, 0, 1, 2)[:b_n]           # (B, E, F, L)
     return out
 
 
