@@ -65,17 +65,27 @@ def test_cli_missing_sondes(tmp_path):
                  "-o", str(tmp_path / "x.nc")]) == 1
 
 
-def test_cli_retrieve_and_spectral(raw, tmp_path):
-    harm = str(tmp_path / "h.nc")
+@pytest.fixture(scope="module")
+def chain(raw, tmp_path_factory):
+    """One shared preprocess -> distill -> forward chain for the evaluate /
+    retrieve / spectral tests (each used to rebuild its own copy, ~6 s of
+    redundant compile+compute per test — VERDICT r3 Next #8)."""
+    root = tmp_path_factory.mktemp("chain")
+    harm = str(root / "h.nc")
+    params = str(root / "p.npz")
+    results = str(root / "r.nc")
     assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
-                 "--campaign", "V", "--location", "J",
+                 "--campaign", "Vital", "--location", "Juelich",
                  "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
-    params = str(tmp_path / "p.npz")
     assert main(["distill", "-i", harm, "-o", params]) == 0
-    results = str(tmp_path / "r.nc")
-    assert main(["forward", "-i", harm, "-o", results, "--models", "R24",
-                 "--fast-params", params]) == 0
+    assert main(["forward", "-i", harm, "-o", results,
+                 "--models", "R24,R98", "--fast-params", params]) == 0
+    return {"harm": harm, "params": params, "results": results}
 
+
+def test_cli_retrieve_and_spectral(chain, tmp_path):
+    harm, params, results = (chain["harm"], chain["params"],
+                             chain["results"])
     ret = str(tmp_path / "ret.nc")
     assert main(["retrieve", "-i", results, "-o", ret,
                  "--fast-params", params]) == 0
@@ -115,14 +125,8 @@ def test_cli_run_all(raw, tmp_path):
                  "--workdir", work, "--models", "R24", "--resume"]) == 0
 
 
-def test_cli_evaluate_stratified(raw, tmp_path):
-    harm = str(tmp_path / "h.nc")
-    results = str(tmp_path / "r.nc")
-    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
-                 "--campaign", "Vital", "--location", "Juelich",
-                 "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
-    assert main(["forward", "-i", harm, "-o", results,
-                 "--models", "R24,R98"]) == 0
+def test_cli_evaluate_stratified(chain, tmp_path):
+    results = chain["results"]
     outdir = str(tmp_path / "figs")
     csv_path = str(tmp_path / "stats.csv")
     assert main(["evaluate", "-i", results, "--outdir", outdir,
@@ -133,18 +137,12 @@ def test_cli_evaluate_stratified(raw, tmp_path):
     assert os.path.isdir(os.path.join(outdir, "per_sonde"))
 
 
-def test_cli_evaluate_full_matrix(raw, tmp_path):
+def test_cli_evaluate_full_matrix(chain, tmp_path):
     """`evaluate --full` emits the reference's complete analysis matrix:
     campaign x location x seasonal-window x sky cells, each with the
     standard figure set + a per-elevation stats CSV, plus a manifest
     (multi_campaign_plots_and_ana.py:1047-1348)."""
-    harm = str(tmp_path / "h.nc")
-    results = str(tmp_path / "r.nc")
-    assert main(["preprocess", "--sondes", f"{raw}/2024*_*.nc",
-                 "--campaign", "Vital", "--location", "Juelich",
-                 "--mwr", f"joyhat={raw}/l1_*.nc", "-o", harm]) == 0
-    assert main(["forward", "-i", harm, "-o", results,
-                 "--models", "R24,R98"]) == 0
+    results = chain["results"]
     outdir = str(tmp_path / "matrix")
     assert main(["evaluate", "-i", results, "--outdir", outdir,
                  "--full"]) == 0
