@@ -19,13 +19,27 @@ cross-device traffic of the evaluation stage (SURVEY.md section 2.3).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _as_local(x):
+    """Device-resident (possibly sharded) arrays keep their placement; HOST
+    data stays on the host CPU backend.  `jnp.asarray` would ship numpy
+    inputs to the *default* device — which in this harness sits behind a
+    ~2 MB/s network tunnel, and the round-3 campaign's figure matrix spent
+    ~150 s per cell pulling these tiny reductions back (the dominant term
+    of its 1893 s full_report stage)."""
+    if isinstance(x, jax.Array):
+        return x
+    return jax.device_put(np.asarray(x), jax.local_devices(backend="cpu")[0])
 
 
 def deviation_stats(dev, axis=0):
     """bias/std/rmse/n over `axis`, NaN-aware (population std, ddof=0 — the
     reference's 1/n convention)."""
-    dev = jnp.asarray(dev)
+    dev = _as_local(dev)
     valid = jnp.isfinite(dev)
     n = jnp.sum(valid, axis=axis)
     nf = jnp.maximum(n, 1)
@@ -46,8 +60,8 @@ def deviation_stats(dev, axis=0):
 
 def pearson_r(a, b, axis=0):
     """NaN-aware Pearson correlation along `axis` (xr.corr analogue)."""
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
+    a = _as_local(a)
+    b = _as_local(b)
     valid = jnp.isfinite(a) & jnp.isfinite(b)
     n = jnp.maximum(jnp.sum(valid, axis=axis), 1)
     a0 = jnp.where(valid, a, 0.0)
@@ -64,8 +78,8 @@ def pearson_r(a, b, axis=0):
 def stats_by_channel(values, reference, axis=0):
     """Per-channel statistics of `values - reference`
     (stats_by_channel, multi_campaign_plots_and_ana.py:155-178)."""
-    values = jnp.asarray(values)
-    reference = jnp.asarray(reference)
+    values = _as_local(values)
+    reference = _as_local(reference)
     out = deviation_stats(values - reference, axis=axis)
     out["r"] = pearson_r(values, reference, axis=axis)
     return out
@@ -78,7 +92,7 @@ def common_valid_mask(*arrays, axis=None):
     axes except the first unless `axis` given."""
     mask = None
     for a in arrays:
-        a = jnp.asarray(a)
+        a = _as_local(a)
         fin = jnp.isfinite(a)
         red = tuple(range(1, a.ndim))
         m = jnp.all(fin, axis=red) if a.ndim > 1 else fin
