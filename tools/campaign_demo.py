@@ -93,9 +93,17 @@ def main(argv=None) -> int:
     ap.add_argument("--summary", default=None,
                     help="write the markdown summary here")
     ap.add_argument("--keep-raws", action="store_true")
+    ap.add_argument("--cache-dir", default=None,
+                    help="persistent JAX compilation cache (default: "
+                         "<workdir>/jit_cache); reruns skip first-compiles "
+                         "- the r3 distill stage was 624 s of tunnel-"
+                         "amplified compiles (CAMPAIGN_r03.md)")
     args = ap.parse_args(argv)
 
     import jax  # deferred so --help works without a backend
+
+    from mwr_fast_forward_operators_and_lbls_tpu.parallel import (
+        compile_cache)
 
     from mwr_fast_forward_operators_and_lbls_tpu.eval import report
     from mwr_fast_forward_operators_and_lbls_tpu.models import fast
@@ -103,6 +111,9 @@ def main(argv=None) -> int:
         forward_stage, merge)
 
     os.makedirs(args.workdir, exist_ok=True)
+    cache_dir = compile_cache.enable(
+        args.cache_dir or os.path.join(args.workdir, "jit_cache"))
+    cache_warm = compile_cache.entry_count(cache_dir)
     raws = os.path.join(args.workdir, "raw")
     timings = {}
     t_all = time.perf_counter()
@@ -149,6 +160,8 @@ def main(argv=None) -> int:
         "n_sondes_requested": args.n_sondes,
         "dims": dims,
         "backend": jax.default_backend(),
+        "compile_cache_entries_at_start": cache_warm,
+        "compile_cache_entries_at_end": compile_cache.entry_count(cache_dir),
         "models": list(models) + ["Fast"],
         "n_forward_spectra": n_spectra,
         "matrix_cells": len(manifest["cells"]),
