@@ -195,9 +195,13 @@ def test_campaign_demo_raw_generation(tmp_path):
     assert months & {5, 6} and months & {6, 7}
 
 
+@pytest.mark.slow
 def test_cli_compilation_cache(raw, tmp_path):
     """--cache-dir persists compiled executables across processes: a second
     identical distill run in a FRESH process hits the cache for every jit
+    (slow-marked: two cold-interpreter subprocesses compiling the teacher
+    graph cost ~60 s; CAMPAIGN_r04.md carries the same claim at campaign
+    scale - distill 136 s cold -> 2.0 s warm)
     (no new cache entries) and skips compile time (VERDICT r3 Next #4; the
     reference's stage-rerun workflow, run_all_procs.sh:1-12)."""
     import subprocess

@@ -63,11 +63,14 @@ def test_kmatrix_physical_signs(prof):
     jacrev computation over a channel set covering both regimes (merging
     the former liquid/temperature tests halves the dominant compile cost,
     VERDICT r3 Next #8)."""
-    k = jacobians.kmatrix_single(
-        prof["z"], prof["p"], prof["t"], prof["rho"], prof["lwc"],
-        jnp.asarray((22.24, 31.4, 58.0)), 90.0, "R24", wrt=("t", "lwc"),
-    )
-    k_lwc, k_t = np.asarray(k["lwc"]), np.asarray(k["t"])
+    f = jnp.asarray((22.24, 31.4, 58.0))
+
+    def tb_of(t, lwc):
+        return lbl.forward_single(prof["z"], prof["p"], t, prof["rho"],
+                                  lwc, f, 90.0, "R24")["tb"]
+
+    jt, jl = jax.jacrev(tb_of, argnums=(0, 1))(prof["t"], prof["lwc"])
+    k_t, k_lwc = np.asarray(jt), np.asarray(jl)
     # Adding liquid in the low troposphere warms the semi-transparent channels.
     assert np.all(k_lwc[0, 2:20] > 0.0)  # 22.24 GHz
     assert np.all(k_lwc[1, 2:20] > 0.0)  # 31.4 GHz
