@@ -100,9 +100,9 @@ def kmatrix_batch_fast(profiles: dict, config: LBLConfig = LBLConfig(),
 
     where D_x collects the direct (non-absorption) paths: Planck source (t)
     and refraction-bent geometry (t, rho, p).  Measured (v5e, B=256, E=10,
-    wrt=(t, rho, lwc)): 1.24 ms = 5.2x the fused-kernel forward (bench.py
-    `kmatrix_x_forward`), vs ~F x len(wrt) full backward passes for
-    `kmatrix_batch`.  The fused tangent path agrees with the XLA linearize
+    wrt=(t, rho, lwc)): 0.62-0.70 ms = 2.2-2.6x a directly-measured
+    fused-kernel forward (bench.py `kmatrix_x_forward`; round 3: 1.24 ms /
+    5.2x), vs ~F x len(wrt) full backward passes for `kmatrix_batch`.  The fused tangent path agrees with the XLA linearize
     fallback (`fused=False`, used automatically on CPU or when wrt includes
     "p") to <~2 % worst-point relative — the far-term series truncation
     differentiates slightly differently than the exact Lorentzian it
@@ -265,7 +265,8 @@ def _kmatrix_batch_fused_lanes(z, p, t, rho, lwc, config, wrt,
     from ..constants import physics as phys
     from ..ops import geometry
     from ..ops.pallas import absorption_kernel as ak
-    from ..ops.pallas.adjoint_kernel import kmatrix_assembled_lb
+    from ..ops.pallas.adjoint_kernel import (kmatrix_assembled_lb,
+                                             kmatrix_assembled_rho_lwc_lb)
 
     b_n, l_n = t.shape
     f_n = len(config.freqs_ghz)
@@ -336,6 +337,17 @@ def _kmatrix_batch_fused_lanes(z, p, t, rho, lwc, config, wrt,
     dn = {"t": dn_t, "rho": dn_rho}
 
     out = {}
+    if set(wrt) == {"t", "rho", "lwc"}:
+        # production configuration in TWO adjoint passes: t alone (it
+        # needs the Planck-derivative scratch), rho+lwc sharing one core
+        k_t = kmatrix_assembled_lb(freqs, "t", alpha_lb, da["t"], ds,
+                                   tTp, dds_dnl, dds_dk, dn["t"], r0cos)
+        k_r, k_l = kmatrix_assembled_rho_lwc_lb(
+            freqs, alpha_lb, da["rho"], da["lwc"], ds, tTp, dds_dnl,
+            dds_dk, dn["rho"], r0cos)
+        for name, k in zip(("t", "rho", "lwc"), (k_t, k_r, k_l)):
+            out[name] = k.transpose(3, 0, 1, 2)[:b_n]       # (B, E, F, L)
+        return out
     for name in wrt:
         if name in ("t", "rho"):
             k = kmatrix_assembled_lb(freqs, name, alpha_lb, da[name], ds,

@@ -63,20 +63,29 @@ def _inv_planck_dB(x: float, b):
 
 
 def _build_kernel(freqs, l: int, which: str, small_dtau: float = 0.03):
-    """Adjoint+assembly kernel for one K-matrix variable.
+    """Adjoint+assembly kernel for K-matrix variables.
 
-    which: "t" (absorption tangent + Planck direct + geometry direct),
-    "rho" (absorption tangent + geometry direct), or "lwc" (absorption
-    tangent only — cloud absorption is the only lwc path)."""
+    which: "rho_lwc" (one shared adjoint core, TWO outputs k_rho/k_lwc —
+    with the separate "t" call this covers the production configuration in
+    two adjoint passes instead of three; a single 3-output kernel was
+    measured 22.5 MB of VMEM, over the 16 MB budget), or a single variable
+    "t" (absorption tangent + Planck direct + geometry direct), "rho"
+    (absorption tangent + geometry direct), "lwc" (absorption tangent only
+    — cloud absorption is the only lwc path)."""
     lm1 = l - 1
-    geo = which in ("t", "rho")
+    geo = which in ("t", "rho", "rho_lwc")
+    want_t = which == "t"
 
     def kernel(*refs):
         it = iter(refs)
         tri_ref = next(it)
         triu_ref = next(it)
         alpha_ref = next(it)
-        da_ref = next(it)
+        if which == "rho_lwc":
+            darho_ref = next(it)
+            dalwc_ref = next(it)
+        else:
+            da_ref = next(it)
         ds_ref = next(it)
         t_ref = next(it)
         if geo:
@@ -84,9 +93,16 @@ def _build_kernel(freqs, l: int, which: str, small_dtau: float = 0.03):
             dk_ref = next(it)
             dn_ref = next(it)
             r0c_ref = next(it)
-        out_ref = next(it)
+        if which == "rho_lwc":
+            out_rho_ref = next(it)
+            out_lwc_ref = next(it)
+        else:
+            out_ref = next(it)
         b_scr = next(it)
-        inva_scr = next(it)
+        # the two-output variant trades the hoisted 1/alpha_mid scratch for
+        # a direct per-point divide: the scratch put the kernel 48 KB over
+        # the 16 MB VMEM budget, and the divide costs ~0.014 ms at B=256
+        inva_scr = None if which == "rho_lwc" else next(it)
         bprime_scr = next(it, None)
         e_idx = pl.program_id(1)
 
@@ -96,11 +112,12 @@ def _build_kernel(freqs, l: int, which: str, small_dtau: float = 0.03):
             for fi, fch in enumerate(freqs):
                 x = float(phys.HK_GHZ * fch)
                 b_scr[fi] = _planck(x, t)
-                if which == "t":
+                if want_t:
                     bprime_scr[fi] = _planck_dT(x, t)
-                a = alpha_ref[fi]
-                amid = 0.5 * (a[:-1] + a[1:])
-                inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
+                if inva_scr is not None:
+                    a = alpha_ref[fi]
+                    amid = 0.5 * (a[:-1] + a[1:])
+                    inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
 
         ds = ds_ref[0]                                    # (K, B)
         inv_ds = 1.0 / jnp.maximum(ds, 1e-30)
@@ -115,7 +132,10 @@ def _build_kernel(freqs, l: int, which: str, small_dtau: float = 0.03):
             a = alpha_ref[fi]
             amid = 0.5 * (a[:-1] + a[1:])
             d = amid * ds
-            inv_d = inva_scr[fi, :lm1] * inv_ds
+            if inva_scr is None:
+                inv_d = 1.0 / jnp.maximum(d, 1e-30)
+            else:
+                inv_d = inva_scr[fi, :lm1] * inv_ds
             ctau = _mxu_prefix_sum(d, tri_ref, lm1)
             t_below = jnp.exp(-(ctau - d))
             em = jnp.exp(-d)
@@ -160,24 +180,33 @@ def _build_kernel(freqs, l: int, which: str, small_dtau: float = 0.03):
             g_alpha = jnp.concatenate([half_wds, zeros1], 0) \
                 + jnp.concatenate([zeros1, half_wds], 0)  # (L, B)
 
-            k = g_alpha * da_ref[fi]
-            if which == "t":
-                gbt = (dtb_dr * g_bot) * t_below
-                gtt = (dtb_dr * g_top) * t_below
-                k = k + (jnp.concatenate([gbt, zeros1], 0)
-                         + jnp.concatenate([zeros1, gtt], 0)) \
+            if want_t:
+                planck_direct = (jnp.concatenate(
+                    [(dtb_dr * g_bot) * t_below, zeros1], 0)
+                    + jnp.concatenate(
+                        [zeros1, (dtb_dr * g_top) * t_below], 0)) \
                     * bprime_scr[fi]
             if geo:
                 g_ds = (dtb_dr * w) * amid                # (K, B)
                 a_geo = g_ds * dnl
                 c = 0.5 * (jnp.concatenate([a_geo, zeros1], 0)
                            + jnp.concatenate([zeros1, a_geo], 0))
-                k = k + c * dn
                 s_k = jnp.sum(g_ds * dk, axis=0, keepdims=True)
-                out_ref[0, fi] = k
-                out_ref[0, fi, 0:1] = k[0:1] + s_k * r0c_dn0
+            if which == "rho_lwc":
+                k_r = g_alpha * darho_ref[fi] + c * dn
+                out_rho_ref[0, fi] = k_r
+                out_rho_ref[0, fi, 0:1] = k_r[0:1] + s_k * r0c_dn0
+                out_lwc_ref[0, fi] = g_alpha * dalwc_ref[fi]
             else:
-                out_ref[0, fi] = k
+                k = g_alpha * da_ref[fi]
+                if which == "t":
+                    k = k + planck_direct
+                if geo:
+                    k = k + c * dn
+                    out_ref[0, fi] = k
+                    out_ref[0, fi, 0:1] = k[0:1] + s_k * r0c_dn0
+                else:
+                    out_ref[0, fi] = k
 
     return kernel
 
@@ -249,3 +278,59 @@ def kmatrix_assembled_lb(freqs: tuple, which: str, alpha, da, ds, t_k,
         interpret=(jax.default_backend() != "tpu"),
     )(*inputs)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("freqs",))
+def kmatrix_assembled_rho_lwc_lb(freqs: tuple, alpha, da_rho, da_lwc, ds,
+                                 t_k, dds_dnl, dds_dk, dn_rho, r0cos):
+    """k_rho and k_lwc from ONE shared adjoint core.
+
+    The adjoint quantities (cumulative opacities, transmittances, emission
+    factors, W, dTB/dR) are variable-independent; the per-variable work is
+    one tangent-field multiply plus the direct terms, so pairing rho+lwc
+    saves one full adjoint pass over two single-variable calls.  (A
+    3-output kernel with k_t was measured at 22.5 MB of VMEM, over the
+    16 MB budget, so `which="t"` stays a separate call.)
+    Shapes as in `kmatrix_assembled_lb`; returns (k_rho, k_lwc), each
+    (E, F, L, B)."""
+    nf, l, b = alpha.shape
+    e, lm1, _ = ds.shape
+    if lm1 != l - 1:
+        raise ValueError(f"ds layers {lm1} != levels-1 {l - 1}")
+    if b % LANES:
+        raise ValueError(f"B={b} not a multiple of {LANES}")
+    lpad = _pad16(lm1)
+
+    grid = (b // LANES, e)
+    kernel = _build_kernel(tuple(freqs), l, "rho_lwc")
+    flb_spec = pl.BlockSpec((nf, l, LANES), lambda i, ei: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    elev_spec = pl.BlockSpec((1, lm1, LANES), lambda i, ei: (ei, 0, i),
+                             memory_space=pltpu.VMEM)
+    lvl_spec = pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((lpad, lpad), lambda i, ei: (0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [tri_spec, tri_spec, flb_spec, flb_spec, flb_spec,
+                elev_spec, lvl_spec, elev_spec, elev_spec, lvl_spec,
+                pl.BlockSpec((1, 1, LANES), lambda i, ei: (ei, 0, i),
+                             memory_space=pltpu.VMEM)]
+    inputs = [_tri_ones(lm1), _tri_upper_strict(lm1),
+              alpha.astype(jnp.float32), da_rho.astype(jnp.float32),
+              da_lwc.astype(jnp.float32),
+              ds.astype(jnp.float32), t_k.astype(jnp.float32),
+              dds_dnl.astype(jnp.float32), dds_dk.astype(jnp.float32),
+              dn_rho.astype(jnp.float32),
+              r0cos.astype(jnp.float32)[:, None, :]]
+    out_spec = pl.BlockSpec((1, nf, l, LANES), lambda i, ei: (ei, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((e, nf, l, b), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 2,
+        out_shape=[out_shape] * 2,
+        scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32)],
+        interpret=(jax.default_backend() != "tpu"),
+    )(*inputs)
