@@ -153,8 +153,7 @@ def bench_kmatrix(forward_per_call):
     the stage decomposition demanded by VERDICT r3 Next #6: dual-tangent
     absorption kernel / closed-form RTE adjoint / geometry+assembly rest."""
     import numpy as np
-    from mwr_fast_forward_operators_and_lbls_tpu.ops import (geometry, rte,
-                                                             thermo)
+    from mwr_fast_forward_operators_and_lbls_tpu.ops import geometry, thermo
     from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas import (
         absorption_kernel as ak)
 
