@@ -549,6 +549,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Explicit platform override for host-only runs (e.g. preprocessing or
+    # evaluation boxes without an accelerator, or CI subprocesses).  An env
+    # knob rather than JAX_PLATFORMS because the harness's device
+    # registration re-pins the platform after reading the environment.
+    import os
+    plat = os.environ.get("MWR_JAX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     # Persistent compile cache: explicit --cache-dir wins; run-all defaults
     # to <workdir>/jit_cache so stage re-runs (the reference's own workflow,

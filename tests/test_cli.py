@@ -216,6 +216,11 @@ def test_cli_compilation_cache(raw, tmp_path):
     cache = str(tmp_path / "jit_cache")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
+    # MWR_JAX_PLATFORM (the CLI's own knob) rather than JAX_PLATFORMS: the
+    # harness's sitecustomize re-pins the platform to the tunneled device
+    # after reading the environment, and a degraded tunnel once turned this
+    # test's "CPU" subprocesses into 10-minute hangs.
+    env["MWR_JAX_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
@@ -225,7 +230,7 @@ def test_cli_compilation_cache(raw, tmp_path):
             [sys.executable, "-m",
              "mwr_fast_forward_operators_and_lbls_tpu.cli.main",
              "--cache-dir", cache, "distill", "-i", harm, "-o", out],
-            env=env, capture_output=True, text=True, timeout=600)
+            env=env, capture_output=True, text=True, timeout=1800)
         assert r.returncode == 0, r.stdout + r.stderr
         return time.perf_counter() - t0
 
