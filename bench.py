@@ -197,7 +197,8 @@ def bench_kmatrix(forward_per_call):
         import kmatrix_assembled_lb
 
     alpha = ak.total_absorption_fused(freqs, *args_flat, "R24")
-    alpha_lb = alpha[:, :n].reshape(14, 180, batch)
+    n_levels = profiles["t"].shape[1]
+    alpha_lb = alpha[:, :n].reshape(len(freqs), n_levels, batch)
     elevs = jnp.asarray(cfg.elevations_deg)
     tT = profiles["t"].T
     pT = profiles["p"].T
@@ -331,6 +332,15 @@ def bench_forward_stage(headline_rate):
     forward_stage(ds, models=("R24",), batch_size=256, fused=True)
     wall = time.perf_counter() - t0
 
+    # opt-in fp16-anomaly payload (halves link traffic; < 0.02 K measured,
+    # tests/test_pipeline.py::test_compressed_upload_tb_budget)
+    forward_stage(ds, models=("R24",), batch_size=256, fused=True,
+                  compress_upload=True)            # warm the f16 program
+    t0 = time.perf_counter()
+    forward_stage(ds, models=("R24",), batch_size=256, fused=True,
+                  compress_upload=True)
+    wall_c = time.perf_counter() - t0
+
     # On-device time of the whole stage program (all chunks x model via
     # lax.map, one dispatch) — instrumented with the same chained
     # device_time methodology as the headline (VERDICT r2 Next #3), so it
@@ -358,7 +368,8 @@ def bench_forward_stage(headline_rate):
 
     spectra = n_time * 2 * 10           # time x crop x elevation
     rate = spectra / wall
-    return rate / headline_rate, rate, upload / wall, stage_dev_s
+    return (rate / headline_rate, rate, upload / wall, stage_dev_s,
+            wall, wall_c, upload)
 
 
 N_STAGE_TIME = 1000
@@ -393,13 +404,19 @@ def main():
             bench_fast_serving() * 1e3, 3)
         extra["oem_retrieval_ms_per_profile"] = round(
             bench_retrieval() * 1e3, 3)
-        frac, stage_rate, upload_frac, stage_dev_s = bench_forward_stage(rate)
+        (frac, stage_rate, upload_frac, stage_dev_s, wall, wall_c,
+         upload) = bench_forward_stage(rate)
         extra["forward_stage_spectra_per_s"] = round(stage_rate, 1)
         extra["forward_stage_frac_of_kernel"] = round(frac, 4)
-        # fraction of the stage wall spent in the (link-dependent)
-        # host->device upload, measured separately; the device-resident
-        # stage time below is the design-quality metric
+        # fraction of the stage wall the (link-dependent) host->device
+        # upload WOULD cost serialized, measured separately; since r5 the
+        # uploads are dispatched async for both crops before either pull,
+        # so the wall approaches max(upload, compute) instead of their sum
         extra["forward_stage_upload_frac_of_wall"] = round(upload_frac, 3)
+        extra["forward_stage_wall_s"] = round(wall, 3)
+        # opt-in fp16-anomaly payload: halves link bytes (< 0.02 K TB cost,
+        # gated in tests/test_pipeline.py)
+        extra["forward_stage_wall_s_f16payload"] = round(wall_c, 3)
         # on-device time of the single-dispatch stage program (crop 0,
         # 1000 launches x 10 elevations, R24) vs the summed kernel time
         # for the same 10k spectra

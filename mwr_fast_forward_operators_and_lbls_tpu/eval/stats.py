@@ -24,22 +24,48 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _as_local(x):
-    """Device-resident (possibly sharded) arrays keep their placement; HOST
-    data stays on the host CPU backend.  `jnp.asarray` would ship numpy
+def _cpu_device():
+    """First CPU device, or None when the CPU backend is unavailable
+    (e.g. MWR_JAX_PLATFORM pinned jax_platforms to a single accelerator)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _as_local(*xs):
+    """Co-locate the reduction operands.
+
+    HOST data stays on the host CPU backend: `jnp.asarray` would ship numpy
     inputs to the *default* device — which in this harness sits behind a
     ~2 MB/s network tunnel, and the round-3 campaign's figure matrix spent
     ~150 s per cell pulling these tiny reductions back (the dominant term
-    of its 1893 s full_report stage)."""
-    if isinstance(x, jax.Array):
-        return x
-    return jax.device_put(np.asarray(x), jax.local_devices(backend="cpu")[0])
+    of its 1893 s full_report stage).  Device-resident jax.Arrays keep
+    their placement — UNLESS the operands mix host and device inputs, in
+    which case everything moves to the CPU device (mixed-placement
+    operands would otherwise raise in the jnp ops below).  Falls back to
+    plain asarray when no CPU backend exists.  Returns a list matching xs.
+    """
+    cpu = _cpu_device()
+    if cpu is None:
+        return [jnp.asarray(np.asarray(x) if not isinstance(x, jax.Array)
+                            else x) for x in xs]
+    any_host = any(not isinstance(x, jax.Array) for x in xs)
+    any_device = any(isinstance(x, jax.Array) for x in xs)
+    out = []
+    for x in xs:
+        if isinstance(x, jax.Array):
+            out.append(jax.device_put(x, cpu) if any_host and any_device
+                       else x)
+        else:
+            out.append(jax.device_put(np.asarray(x), cpu))
+    return out
 
 
 def deviation_stats(dev, axis=0):
     """bias/std/rmse/n over `axis`, NaN-aware (population std, ddof=0 — the
     reference's 1/n convention)."""
-    dev = _as_local(dev)
+    dev, = _as_local(dev)
     valid = jnp.isfinite(dev)
     n = jnp.sum(valid, axis=axis)
     nf = jnp.maximum(n, 1)
@@ -60,8 +86,7 @@ def deviation_stats(dev, axis=0):
 
 def pearson_r(a, b, axis=0):
     """NaN-aware Pearson correlation along `axis` (xr.corr analogue)."""
-    a = _as_local(a)
-    b = _as_local(b)
+    a, b = _as_local(a, b)
     valid = jnp.isfinite(a) & jnp.isfinite(b)
     n = jnp.maximum(jnp.sum(valid, axis=axis), 1)
     a0 = jnp.where(valid, a, 0.0)
@@ -78,8 +103,7 @@ def pearson_r(a, b, axis=0):
 def stats_by_channel(values, reference, axis=0):
     """Per-channel statistics of `values - reference`
     (stats_by_channel, multi_campaign_plots_and_ana.py:155-178)."""
-    values = _as_local(values)
-    reference = _as_local(reference)
+    values, reference = _as_local(values, reference)
     out = deviation_stats(values - reference, axis=axis)
     out["r"] = pearson_r(values, reference, axis=axis)
     return out
@@ -92,7 +116,7 @@ def common_valid_mask(*arrays, axis=None):
     axes except the first unless `axis` given."""
     mask = None
     for a in arrays:
-        a = _as_local(a)
+        a, = _as_local(a)
         fin = jnp.isfinite(a)
         red = tuple(range(1, a.ndim))
         m = jnp.all(fin, axis=red) if a.ndim > 1 else fin

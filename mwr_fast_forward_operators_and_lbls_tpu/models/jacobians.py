@@ -393,6 +393,100 @@ def kmatrix_fast_single(params, z_m, p_hpa, t_k, rho_gm3, lwc_gm3,
             for name in wrt}
 
 
+def kmatrix_fast_adjoint_single(params, z_m, p_hpa, t_k, rho_gm3, lwc_gm3,
+                                config=None, wrt: tuple = ("t", "rho")):
+    """Closed-form fast-operator K: ALL (elevation, channel) rows at once.
+
+    `kmatrix_fast_single` runs `jacrev` through the fast forward — E*C
+    backward passes per profile, which made each OEM Gauss-Newton iteration
+    ~100x the cost of a forward (BENCH_r04 oem_retrieval_ms_per_profile
+    3.84 ms vs 0.4 us/profile fast serving).  The fast operator has the
+    same structure the LBL fast-K path exploits (`kmatrix_batch_fast`):
+
+      1. the regression extinction is LAYER-LOCAL — alpha_mid[l] depends
+         only on the layer-mean state at l — so d(alpha_mid)/d(x_mid) is
+         DIAGONAL over layers and TWO forward jvp passes with an all-ones
+         seed recover the entire diagonal (the tangent at layer l is
+         exactly the l-th diagonal entry, by locality);
+      2. the RTE adjoint is closed-form (`rte.downwelling_tb_adjoint_mid`),
+         giving dTB/d(alpha_mid), the direct Planck term and dTB/d(ds)
+         for every (elevation, channel) in one vectorized pass;
+      3. the refraction-bent geometry's Jacobian is tridiagonal-local plus
+         a rank-one Snell-invariant column
+         (`geometry.slant_path_sensitivities`).
+
+    Total cost: ~3 forward-shaped passes instead of E*C backward passes.
+    Agrees with `kmatrix_fast_single`'s jacrev to fp32 reassociation
+    (tests/test_retrieval.py).
+
+    Returns {name: (E, C, L)} for name in wrt (subset of {"t", "rho"}).
+    """
+    from ..constants import physics as phys
+    from ..ops import geometry, rte
+
+    if config is None:
+        from . import fast as fast_mod
+        config = fast_mod.FastConfig()
+    from . import fast as fast_mod
+
+    f = jnp.asarray(config.freqs_ghz, jnp.float32)
+    elevs = jnp.asarray(config.elevations_deg, jnp.float32)
+    ones = jnp.ones_like(t_k)
+
+    e_hpa = thermo.rho_to_e(rho_gm3, t_k)
+    ds = jax.vmap(lambda el: geometry.slant_path_lengths(
+        z_m, p_hpa, t_k, e_hpa, el))(elevs)              # (E, K)
+
+    # 1) diagonal extinction partials via locality (see docstring).
+    alpha_mid, d_tm = jax.jvp(
+        lambda v: fast_mod.predict_extinction(params, p_hpa, v, rho_gm3,
+                                              lwc_gm3),
+        (t_k,), (ones,))                                  # (K, C) each
+    _, d_rm = jax.jvp(
+        lambda v: fast_mod.predict_extinction(params, p_hpa, t_k, v,
+                                              lwc_gm3),
+        (rho_gm3,), (ones,))
+
+    # 2) closed-form RTE adjoint for all (E, C) rows (B=1 batch dims).
+    g_mid, g_t, g_ds = rte.downwelling_tb_adjoint_mid(
+        alpha_mid.T[None], ds[None], t_k[None], f)
+    g_mid, g_t, g_ds = g_mid[0], g_t[0], g_ds[0]          # (E,C,K/L)
+
+    def spread(a):
+        """Layer field -> level field: x_mid = (x_l + x_{l+1})/2."""
+        zeros = jnp.zeros_like(a[..., :1])
+        return 0.5 * (jnp.concatenate([a, zeros], -1)
+                      + jnp.concatenate([zeros, a], -1))
+
+    out = {}
+    if "t" in wrt:
+        out["t"] = spread(g_mid * d_tm.T[None]) + g_t
+    if "rho" in wrt:
+        out["rho"] = spread(g_mid * d_rm.T[None])
+
+    # 3) geometry direct terms: ds depends on (t, rho) through refraction.
+    n_lev, dn_t = jax.jvp(
+        lambda v: geometry.refractive_index(p_hpa, v,
+                                            thermo.rho_to_e(rho_gm3, v)),
+        (t_k,), (ones,))
+    _, dn_rho = jax.jvp(
+        lambda v: geometry.refractive_index(p_hpa, t_k,
+                                            thermo.rho_to_e(v, t_k)),
+        (rho_gm3,), (ones,))
+    dn = {"t": dn_t, "rho": dn_rho}                       # (L,)
+    dds_dnl, dds_dk = geometry.slant_path_sensitivities(
+        z_m, n_lev, elevs)                                # (E, K) each
+    c = spread(g_ds * dds_dnl[:, None])                   # (E, C, L)
+    s_k = jnp.sum(g_ds * dds_dk[:, None], axis=-1)        # (E, C)
+    r0cos = ((phys.EARTH_RADIUS + z_m[0])
+             * jnp.cos(jnp.deg2rad(elevs)))               # (E,)
+    for name in out:
+        g = c * dn[name][None, None, :]
+        g = g.at[..., 0].add(s_k * (r0cos[:, None] * dn[name][0]))
+        out[name] = out[name] + g
+    return out
+
+
 def kmatrix_fast_batch(params, profiles: dict, config=None,
                        wrt: tuple = ("t", "rho", "lwc")):
     """Batched fast-operator K-matrix: {name: (B, E, F, L)}."""

@@ -15,10 +15,14 @@ linear in ln(rho) along optically thick slant paths.  Each iteration uses the
 measurement-space ("m-form") Gauss-Newton update, which never inverts the
 prior:
   x_{k+1} = xa + Sa K^T (K Sa K^T + Se)^-1 (y - F(x_k) + K (x_k - xa))
-with K = dF/dx from `jax.jacrev` through the fast operator (features ->
-regression matmul -> slant geometry -> RTE).  The (m x m) system
-(K Sa K^T + Se) is symmetric positive definite by construction, so it is
-solved by an on-device fp32 Cholesky factorization
+with K = dF/dx from the CLOSED-FORM fast-operator K-matrix
+(`jacobians.kmatrix_fast_adjoint_single`: diagonal extinction partials via
+layer locality + the hand-written RTE adjoint + tridiagonal geometry
+sensitivities — ~3 forward-shaped passes instead of the E*C backward
+passes `jax.jacrev` costs; BENCH r4 -> r5 took the retrieval from 3.8 ms
+to well under 1 ms/profile).  The (m x m) system (K Sa K^T + Se) is
+symmetric positive definite by construction, so it is solved by an
+on-device fp32 Cholesky factorization
 (`jax.scipy.linalg.cho_factor`/`cho_solve`); iterations are a `lax.scan`,
 so the whole retrieval jits and vmaps over profile batches.
 """
@@ -102,7 +106,20 @@ def retrieve(params: dict, tb_obs, z_m, p_hpa, t_prior, rho_prior,
 
     fwd = lambda x: _forward_tb(x, z_m, p_hpa, lwc, params, fcfg,
                                 config.rho_floor)
-    jac = jax.jacrev(fwd)
+
+    def jac(x):
+        """Closed-form K (m, 2L) wrt [T, ln rho] at state x."""
+        from . import jacobians
+
+        t = x[:l]
+        expx = jnp.exp(x[l:])                 # = rho + rho_floor
+        rho = expx - config.rho_floor
+        ks = jacobians.kmatrix_fast_adjoint_single(
+            params, z_m, p_hpa, t, rho, lwc, fcfg, wrt=("t", "rho"))
+        k_t = ks["t"].reshape(m, l)
+        # chain rule into log space: d rho / d x_lnrho = exp(x) .
+        k_lnrho = ks["rho"].reshape(m, l) * expx[None, :]
+        return jnp.concatenate([k_t, k_lnrho], axis=1)
 
     def _m_form_solve(k, rhs):
         """Cholesky-solve (K Sa K^T + Se) u = rhs; return Sa K^T u."""

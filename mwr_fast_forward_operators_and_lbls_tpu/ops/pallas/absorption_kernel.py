@@ -275,9 +275,23 @@ def _fold_k8(model: str, freqs: tuple):
     the natural VMEM layout, zero relayout — so the coefficient matrix is
     kron(K, I_8): out[8r+s] = sum_l K[r,l] * X[8l+s].  The 8x zero padding
     wastes MXU MACs, which are ~3 orders of magnitude cheaper than the VPU
-    ops this contraction replaces.  Returned pre-split into exact bf16
-    hi + lo halves (fp32 accumulation in the kernel keeps a 16-bit
-    mantissa per coefficient)."""
+    ops this contraction replaces.
+
+    Precision (measured on this chip, round 5): the fold runs as ONE
+    bf16 MXU pass — Mosaic rounds both operands to 8-bit mantissas, so
+    each folded far-wing term carries ~5e-4 relative error, NOT fp32.
+    That is the deliberate speed/accuracy point: the folded terms are
+    far-wing corrections (a few % of total alpha at most), the end-to-end
+    TB impact is gated on the real chip at < 0.05 K — BASELINE.md's TB
+    budget; measured 0.036 K worst-case on v5e
+    (tests/test_absorption.py::test_fused_vs_xla_tb_on_chip) — and
+    every exact alternative measured is slower — precision=HIGHEST fp32
+    dot 2.5x end-to-end, a 3-pass trace-time-split bf16 hi+lo product
+    1.6x (the extra passes + the runtime hi/lo split of the tile stack
+    don't pipeline behind the VPU body).  The V-band y-mixing terms,
+    whose sum-rule cancellation bf16 rounding WOULD corrupt (~0.04 K
+    measured), deliberately stay on the VPU in exact fp32
+    (see the pass-2 comment in `_build_kernel`)."""
     k8 = np.kron(_fold_matrix(model, tuple(freqs)),
                  np.eye(BLOCK_ROWS, dtype=np.float64))
     return jnp.asarray(k8, jnp.float32)
@@ -288,14 +302,14 @@ def _stack_matmul(kmat_ref, tiles: list):
     MXU: out[r] = sum_j kmat[r, j] * tiles[j].
 
     The far-half series folds are LINEAR in the hoisted per-line point
-    tensors (O2: A, B, C, E; H2O: sw, sw*w^2) with trace-time-constant
+    tensors (O2: A, C; H2O: sw, sw*w^2) with trace-time-constant
     coefficients, i.e. a (rows, stack) x (stack, points) matrix product —
     the one place in the line-by-line math the MXU can eat, and it runs
-    concurrently with the VPU's near-resonant rationals.  Inputs are split
-    exactly into bf16 hi + lo halves (fp32 accumulation, the lo*lo term
-    dropped): per-term relative error ~2e-5, i.e. sub-mK in TB on the far
-    wings this computes.  Dual-number tiles run the same contraction per
-    tangent slot.
+    concurrently with the VPU's near-resonant rationals.  The product is
+    ONE bf16 MXU pass; see `_fold_k8` for the measured precision budget
+    and why the exact (hi/lo split or precision=HIGHEST) alternatives
+    were measured and rejected.  Dual-number tiles run the same
+    contraction per tangent slot.
 
     Returns a list of per-row (tile-shaped) outputs, dual iff any input is.
     """
@@ -511,9 +525,26 @@ def _build_kernel(model: str, freqs: tuple, with_o3: bool = False,
                 near_d = []              # detuning^2 of plain near halves
                 if m1[ci]:
                     if sd_nodes is not None:
+                        # Merge the 16 quadrature rationals through a
+                        # depth-2 tree (pairs, then pairs-of-pairs) so four
+                        # nodes share ONE hardware divide — same trick as
+                        # the O2 near-half merge below.  Denominators are
+                        # bounded below by the trace-time d1sq (>= 2.5e-5
+                        # GHz^2 for the closest channel/line pair), so the
+                        # 4-way product stays far above fp32 underflow.
+                        terms = [(wi * cr, cr2 + d1sq)
+                                 for wi, cr, cr2 in sd_nodes]
+                        for _ in range(2):
+                            merged = []
+                            for j in range(0, len(terms) - 1, 2):
+                                (pa, da), (pb, db) = terms[j], terms[j + 1]
+                                merged.append((pa * db + pb * da, da * db))
+                            if len(terms) % 2:
+                                merged.append(terms[-1])
+                            terms = merged
                         qsum = None
-                        for wi, cr, cr2 in sd_nodes:
-                            term = (wi * cr) / (cr2 + d1sq)
+                        for pj, dj in terms:
+                            term = pj / dj
                             qsum = term if qsum is None else qsum + term
                         sres = s * qsum - sbase
                     elif wmax_sq < VERY_FAR_R * d1sq:

@@ -15,22 +15,37 @@ opacity, cumulative-opacity prefix scan, transmittance, source integration,
 reduction — inside VMEM, writing only the (E, F, B) results.  Useful HBM
 traffic drops from ~600 MB to ~19 MB per 1024-profile batch.
 
-Design decisions that matter on the hardware (round-4 revision, driven by
-the measured per-primitive decomposition in tools/perf_probe.py):
+Design decisions that matter on the hardware (round-5 revision, driven by
+the measured per-primitive decomposition in tools/perf_probe.py — the
+round-4 kernel issued 2,011 data-movement ops per point against 3,930
+fma, and every structural source of those movs is addressed here):
 
   * Grid is (batch-block, elevation) with ALL channels unrolled inside the
     kernel body: a per-(elevation, channel) grid would mean 1120 tiny steps
     whose fixed step overhead dominates the math.
   * The cumulative-opacity prefix scan runs on the MXU as a triangular
-    ones-matrix product, with the fp32 layer opacities split EXACTLY into
-    bf16 hi + lo halves (two matmuls, fp32 accumulation).  The MXU runs
-    concurrently with the VPU, so this removes the scan's ~16 vector
-    ops/element from the critical path entirely; the split reconstructs a
-    16-bit mantissa, bounding the tau error at ~6e-6 relative (~1e-3 K in
-    TB — measured, see tests/test_rte.py), where a single bf16 pass
-    (Mosaic's native in-kernel fp32 dot) would cost ~0.5 K.  The round-3
-    VPU doubling scan cost 8 masked shift-adds over the full tile per
-    channel — ~35 % of the kernel's issue slots.
+    ones-matrix product in ONE fp32 `precision=HIGHEST` dot.  Mosaic
+    honors HIGHEST inside kernels (measured 1.4e-7 relative on this chip —
+    true fp32, vs 6.8e-6 for the round-4 explicit bf16 hi+lo split and
+    3.7e-3 for the DEFAULT single bf16 pass), so the three per-channel
+    dtype converts + subtract of the manual split — the largest single
+    mov source in the round-4 counts — vanish into the MXU's own passes.
+    The MXU runs concurrently with the VPU, so the scan stays off the
+    critical path.
+  * EVERYTHING lives in the 16-row-padded sublane layout (lpad rows) from
+    the moment it is produced: layer opacities, reciprocals, path lengths,
+    Planck-layer tensors.  Pad rows are zeroed ONCE at the first elevation
+    step, and every downstream tensor is then provably zero there (d = 0
+    selects the small-dtau series branch, whose every term is a multiple
+    of d), so the emission sum runs over the padded rows with NO
+    pad-concat before the scan and NO [:lm1] slice after it — the
+    round-4 kernel paid both, per channel per elevation.
+  * The layer Planck pair (b_bot, b_top - b_bot) is precomputed per channel
+    into padded scratch at the first elevation step: two scratch reads per
+    channel replace the round-4 read + two sublane slices + subtract per
+    (channel, elevation).
+  * The triangular scan matrix is read ONCE per grid step, not once per
+    channel (14x fewer reads of the (lpad, lpad) tile).
   * The linear-in-tau emission factor needs (trans_below - e_ctau) / dtau;
     the fp32 divide is the VPU's slowest primitive and this was the ONLY
     per-(layer, channel, elevation, point) divide in the kernel.  It is now
@@ -43,11 +58,8 @@ the measured per-primitive decomposition in tools/perf_probe.py):
     cumulative transmittances (trans_below - e_ctau), so the kernel
     evaluates ONE exponential per (layer, elevation, channel) point
     instead of two.
-  * The Planck source profile, layer-mean absorption and its reciprocal
-    depend only on the channel, so they are computed once per batch block
-    (at the first elevation grid step) and carried in VMEM scratch across
-    the sweep.  Channel frequencies are compile-time immediates, so the
-    cosmic-background radiance folds at trace time.
+  * Channel frequencies are compile-time immediates, so the cosmic-
+    background radiance folds at trace time.
 """
 
 from __future__ import annotations
@@ -63,6 +75,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ...constants import physics as phys
 
 LANES = 128
+
+# Prefix-scan matmul strategy: "hilo" = explicit exact bf16 hi + lo split
+# (two MXU passes + 3 VPU converts per channel, ~6.8e-6 relative);
+# "highest" = one fp32 precision=HIGHEST dot (~1.4e-7 relative, zero VPU
+# converts — but measured 1.75x SLOWER end-to-end on v5e: Mosaic's fp32
+# dot lowering does not pipeline with the VPU body the way bf16 passes
+# do).  Module-level so tools/perf_probe-style experiments can flip it.
+_SCAN_MODE = "hilo"
 
 
 def _planck(x, t):
@@ -94,7 +114,7 @@ def _cumsum_sublanes(x, n_rows: int):
 
     ceil(log2(n_rows)) shift-adds.  Retained for callers that need the
     bit-exact fp32 summation (the spectral kernel); the channel RTE kernels
-    below use the MXU split-matmul scan instead."""
+    below use the MXU HIGHEST-precision scan instead."""
     shift = 1
     while shift < n_rows:
         zeros = jnp.zeros((shift,) + x.shape[1:], x.dtype)
@@ -104,46 +124,30 @@ def _cumsum_sublanes(x, n_rows: int):
 
 
 def _pad16(n: int) -> int:
-    """Round up to the bf16 sublane tile (16 rows) for the MXU scan."""
+    """Round up to the sublane tile (16 rows) for the padded scan layout."""
     return -(-n // 16) * 16
 
 
-def _mxu_prefix_sum(d, tri_ref, lm1: int):
-    """Inclusive prefix sum of d (lm1, B) via two bf16 MXU matmuls.
-
-    d is padded with zero rows to the triangular matrix's size and split
-    exactly into bf16 hi + lo (hi = rn(d), lo = rn(d - hi)): the matmuls
-    accumulate in fp32, so the result carries a 16-bit mantissa of each
-    addend — relative error ~6e-6, measured ~1e-3 K in TB.  Zero padding is
-    REQUIRED: the ones-matrix multiplies every row, and 0 x garbage from
-    uninitialized scratch would poison the sums."""
-    lpad = tri_ref.shape[0]
-    if lpad != lm1:
-        d = jnp.concatenate(
-            [d, jnp.zeros((lpad - lm1, d.shape[-1]), jnp.float32)], axis=0)
-    d_hi = d.astype(jnp.bfloat16)
-    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    tri = tri_ref[:]
-    ctau = (jnp.dot(tri, d_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(tri, d_lo, preferred_element_type=jnp.float32))
-    return ctau[:lm1]
-
-
-def _channel_emission(x: float, b, d, inv_d, ctau, l: int,
+def _channel_emission(x: float, b_bot, bd, d, inv_d, ctau, lm1: int,
                       small_dtau: float, want_trans, trans_row):
-    """Per-channel downwelling integration given layer opacities.
+    """Per-channel downwelling integration given PADDED layer opacities.
+
+    All tensor args are (lpad, B) with rows >= lm1 exactly zero in d,
+    inv_d, b_bot and bd; every pad-row term below is then a multiple of
+    one of those zeros, so the reduction can run over the full padded
+    tile with no slicing.
 
     Args:
       x: h*nu/k in K (Python float — folds at trace time).
-      b: (L, B) Planck radiance profile.
-      d: (L-1, B) layer opacities.
-      inv_d: (L-1, B) reciprocal opacities (see module docstring).
-      ctau: (L-1, B) inclusive cumulative opacity from the scan.
+      b_bot: (lpad, B) Planck radiance at layer bottoms (pad rows 0).
+      bd:    (lpad, B) layer-top minus layer-bottom radiance (pad rows 0).
+      d:     (lpad, B) layer opacities (pad rows 0).
+      inv_d: (lpad, B) reciprocal opacities (pad rows 0).
+      ctau:  (lpad, B) inclusive cumulative opacity from the scan.
       trans_row: callback(e_ctau) writing the transmittance profile row.
 
     Returns (tb, tau_total, t_mr) each (1, B).
     """
-    lm1 = l - 1
     e_ctau = jnp.exp(-ctau)
     trans_below = jnp.concatenate(
         [jnp.ones_like(e_ctau[:1]), e_ctau[:-1]], axis=0)
@@ -156,6 +160,9 @@ def _channel_emission(x: float, b, d, inv_d, ctau, l: int,
     #      g_top * trans_below = delta * inv_d - e_ctau.
     # Both cancel catastrophically as d -> 0; 3-term series (error
     # O(d^4)) take over below `small_dtau` (see rte._emission_factors).
+    # Pad rows have d = 0 and so take the series branch, where every term
+    # carries a factor of d: delta, gtop_tb and contrib are EXACT zeros
+    # there and the sum over the padded tile equals the sum over lm1 rows.
     small = d < small_dtau
     tbd = trans_below * d
     delta_exact = trans_below - e_ctau
@@ -164,8 +171,6 @@ def _channel_emission(x: float, b, d, inv_d, ctau, l: int,
     gtop_tb = jnp.where(
         small, tbd * (0.5 - d * (1.0 / 3.0 - d * 0.125)),
         delta_exact * inv_d - e_ctau)
-    b_bot, b_top = b[:-1], b[1:]
-    bd = b_top - b_bot
     contrib = b_bot * delta + bd * gtop_tb
     atm = jnp.sum(contrib, axis=0, keepdims=True)        # (1, B)
 
@@ -179,49 +184,93 @@ def _channel_emission(x: float, b, d, inv_d, ctau, l: int,
     return tb, tau_total, tmr
 
 
+def _fill_channel_scratch(freqs, l: int, lm1: int, lpad: int, alpha_is_mid,
+                          t, alpha_ref, b_bot_scr, bd_scr, amid_scr,
+                          inva_scr):
+    """One-time (first elevation step) per-channel scratch fill: padded
+    layer-mean opacity, its reciprocal, and the layer Planck pair."""
+    zpad = jnp.zeros((lpad - lm1, t.shape[-1]), jnp.float32)
+    for fi, fch in enumerate(freqs):
+        b = _planck(float(phys.HK_GHZ * fch), t)
+        b_bot_scr[fi, :lm1] = b[:-1]
+        b_bot_scr[fi, lm1:] = zpad
+        bd_scr[fi, :lm1] = b[1:] - b[:-1]
+        bd_scr[fi, lm1:] = zpad
+        a = alpha_ref[fi]
+        amid = a if alpha_is_mid else 0.5 * (a[:-1] + a[1:])
+        amid_scr[fi, :lm1] = amid
+        amid_scr[fi, lm1:] = zpad
+        inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
+        inva_scr[fi, lm1:] = zpad
+
+
+def _channel_sweep(freqs, l: int, lm1: int, small_dtau: float, want_trans,
+                   tri_ref, ds, inv_ds, b_bot_scr, bd_scr, amid_scr,
+                   inva_scr, tb_ref, tau_ref, tmr_ref, trans_ref):
+    """The per-elevation channel loop shared by both kernel variants.
+
+    ds / inv_ds are (lpad, B) with pad rows 0; the scan matrix is read
+    ONCE here and reused by all channels."""
+    tri = tri_ref[:]
+    if _SCAN_MODE == "hilo":
+        tri = tri.astype(jnp.bfloat16)
+    for fi, fch in enumerate(freqs):
+        x = float(phys.HK_GHZ * fch)
+        d = amid_scr[fi] * ds                            # (lpad, B)
+        inv_d = inva_scr[fi] * inv_ds
+        # Inclusive prefix sum on the MXU (see module docstring; zero pad
+        # rows keep the padded sums exact, so no concat/slice).
+        if _SCAN_MODE == "hilo":
+            d_hi = d.astype(jnp.bfloat16)
+            d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ctau = (jnp.dot(tri, d_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(tri, d_lo, preferred_element_type=jnp.float32))
+        else:
+            ctau = jnp.dot(tri, d, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+
+        def trans_row(e_ctau, fi=fi):
+            trans_ref[0, fi, 0:1] = jnp.ones(
+                (1, e_ctau.shape[-1]), jnp.float32)
+            trans_ref[0, fi, 1:l] = e_ctau[:lm1]
+
+        tb, tau, tmr = _channel_emission(
+            x, b_bot_scr[fi], bd_scr[fi], d, inv_d, ctau, lm1, small_dtau,
+            want_trans, trans_row)
+        tb_ref[0, fi:fi + 1] = tb
+        tau_ref[0, fi:fi + 1] = tau
+        tmr_ref[0, fi:fi + 1] = tmr
+
+
 def _build_kernel(freqs, l: int, alpha_is_mid: bool,
                   small_dtau: float = 0.03, want_trans: bool = False):
-    """RTE kernel over precomputed slant path lengths (E, L-1, B)."""
+    """RTE kernel over precomputed slant path lengths, pre-padded to
+    (E, lpad, B) with zero pad rows by the wrapper."""
     lm1 = l - 1
-    nf = len(freqs)
+    lpad = _pad16(lm1)
 
     def kernel(tri_ref, alpha_ref, ds_ref, t_ref,
                tb_ref, tau_ref, tmr_ref, *rest):
         if want_trans:
-            trans_ref, b_scr, amid_scr, inva_scr = rest
+            trans_ref, b_bot_scr, bd_scr, amid_scr, inva_scr = rest
         else:
-            b_scr, amid_scr, inva_scr = rest
+            trans_ref = None
+            b_bot_scr, bd_scr, amid_scr, inva_scr = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
         def _():
-            t = t_ref[:]
-            for fi, fch in enumerate(freqs):
-                b_scr[fi] = _planck(float(phys.HK_GHZ * fch), t)
-                a = alpha_ref[fi]
-                amid = a if alpha_is_mid else 0.5 * (a[:-1] + a[1:])
-                amid_scr[fi, :lm1] = amid
-                inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
+            _fill_channel_scratch(freqs, l, lm1, lpad, alpha_is_mid,
+                                  t_ref[:], alpha_ref, b_bot_scr, bd_scr,
+                                  amid_scr, inva_scr)
 
-        ds = ds_ref[0]                                   # (L-1, B)
+        ds = ds_ref[0]                                   # (lpad, B), pads 0
+        # Pad rows: 1/max(0, eps) is huge but finite; inv_d multiplies it
+        # by inva's exact zero, so downstream pads stay exactly zero.
         inv_ds = 1.0 / jnp.maximum(ds, 1e-30)
-        for fi, fch in enumerate(freqs):
-            x = float(phys.HK_GHZ * fch)
-            d = amid_scr[fi, :lm1] * ds
-            inv_d = inva_scr[fi, :lm1] * inv_ds
-            ctau = _mxu_prefix_sum(d, tri_ref, lm1)
-
-            def trans_row(e_ctau, fi=fi):
-                trans_ref[0, fi, 0:1] = jnp.ones(
-                    (1, e_ctau.shape[-1]), jnp.float32)
-                trans_ref[0, fi, 1:l] = e_ctau
-
-            tb, tau, tmr = _channel_emission(
-                x, b_scr[fi], d, inv_d, ctau, l, small_dtau,
-                want_trans, trans_row)
-            tb_ref[0, fi:fi + 1] = tb
-            tau_ref[0, fi:fi + 1] = tau
-            tmr_ref[0, fi:fi + 1] = tmr
+        _channel_sweep(freqs, l, lm1, small_dtau, want_trans, tri_ref,
+                       ds, inv_ds, b_bot_scr, bd_scr, amid_scr, inva_scr,
+                       tb_ref, tau_ref, tmr_ref, trans_ref)
 
     return kernel
 
@@ -235,84 +284,90 @@ def _build_geo_kernel(freqs, l: int, alpha_is_mid: bool,
     for the (E, L-1, B) path-length tensor and its intermediates.  Here the
     elevation-independent pieces (refractive layer index, dz * (r_top +
     r_bot), and the 1/dzr and 1/n_layer reciprocals) are computed once into
-    scratch and each elevation grid step derives its Snell chord lengths in
-    VMEM: two sqrts and ONE divide per layer point, amortized over the
-    14-channel body.
+    PADDED scratch (pad rows zeroed, so the whole sweep runs pad-layout
+    with no concats/slices) and each elevation grid step derives its Snell
+    chord lengths in VMEM: two sqrts and ONE divide per layer point,
+    amortized over the 14-channel body.
     """
     lm1 = l - 1
-    nf = len(freqs)
+    lpad = _pad16(lm1)
+    # r needs rows 0..lpad (both ends of every padded layer), rounded up
+    # to the next sublane tile.
+    rpad = _pad16(lpad + 1)
 
     def kernel(cos_ref, alpha_ref, z_ref, n_ref, t_ref,
                tri_ref, tb_ref, tau_ref, tmr_ref, *rest):
         if want_trans:
-            (trans_ref, b_scr, amid_scr, inva_scr, r_scr, invn_scr,
-             dzr_scr, invdzr_scr) = rest
+            (trans_ref, b_bot_scr, bd_scr, amid_scr, inva_scr, r_scr,
+             invn_scr, dzr_scr, invdzr_scr) = rest
         else:
-            (b_scr, amid_scr, inva_scr, r_scr, invn_scr,
-             dzr_scr, invdzr_scr) = rest
+            trans_ref = None
+            (b_bot_scr, bd_scr, amid_scr, inva_scr, r_scr,
+             invn_scr, dzr_scr, invdzr_scr) = rest
         e_idx = pl.program_id(1)
 
         @pl.when(e_idx == 0)
         def _():
-            t = t_ref[:]
             z = z_ref[:]
             n = n_ref[:]
             r = phys.EARTH_RADIUS + z
-            r_scr[:] = r
+            r_scr[:l] = r
+            # Pad rows: replicate the top radius (positive, finite).  With
+            # invn pad rows ZERO the Snell invariant rk vanishes there, so
+            # seg_* = r_top (finite), segsum >= 1, and ds = dzr * inv_seg
+            # inherits dzr's exact pad zeros.
+            r_scr[l:] = jnp.broadcast_to(r[l - 1:l],
+                                         (rpad - l, r.shape[-1]))
+            zpad = jnp.zeros((lpad - lm1, z.shape[-1]), jnp.float32)
             invn_scr[:lm1] = 1.0 / (0.5 * (n[:-1] + n[1:]))
+            invn_scr[lm1:] = zpad
             # dz * (r_top + r_bot), with the m -> km conversion folded in.
             dzr = (z[1:] - z[:-1]) * ((r[1:] + r[:-1]) * 1e-3)
             dzr_scr[:lm1] = dzr
+            dzr_scr[lm1:] = zpad
             invdzr_scr[:lm1] = 1.0 / jnp.maximum(dzr, 1e-30)
-            for fi, fch in enumerate(freqs):
-                b_scr[fi] = _planck(float(phys.HK_GHZ * fch), t)
-                a = alpha_ref[fi]
-                amid = a if alpha_is_mid else 0.5 * (a[:-1] + a[1:])
-                amid_scr[fi, :lm1] = amid
-                inva_scr[fi, :lm1] = 1.0 / jnp.maximum(amid, 1e-30)
+            invdzr_scr[lm1:] = zpad
+            _fill_channel_scratch(freqs, l, lm1, lpad, alpha_is_mid,
+                                  t_ref[:], alpha_ref, b_bot_scr, bd_scr,
+                                  amid_scr, inva_scr)
 
         # Snell-invariant chord lengths for this elevation
-        # (ops/geometry.slant_path_lengths_lb, cancellation-safe form).
-        r = r_scr[:]
-        k = (n_ref[0:1] * r[0:1]) * cos_ref[e_idx]       # (1, B) invariant
-        rk = k * invn_scr[:lm1]
-        r_bot, r_top = r[:-1], r[1:]
+        # (ops/geometry.slant_path_lengths_lb, cancellation-safe form),
+        # computed over the padded rows (see pad notes above).
+        r_all = r_scr[:]
+        k = (n_ref[0:1] * r_all[0:1]) * cos_ref[e_idx]   # (1, B) invariant
+        rk = k * invn_scr[:]                             # (lpad, B)
+        r_bot, r_top = r_all[:lpad], r_all[1:lpad + 1]
         seg_top = jnp.sqrt(jnp.maximum((r_top - rk) * (r_top + rk), 0.0))
         seg_bot = jnp.sqrt(jnp.maximum((r_bot - rk) * (r_bot + rk), 0.0))
         segsum = jnp.maximum(seg_top + seg_bot, 1.0)
         # dzr carries the m -> km factor, so ds = dzr / segsum is in km; the
         # reciprocal chord normalizer is the only per-elevation divide.
         inv_seg = 1.0 / segsum
-        ds = dzr_scr[:lm1] * inv_seg
-        inv_ds = segsum * invdzr_scr[:lm1]
-
-        for fi, fch in enumerate(freqs):
-            x = float(phys.HK_GHZ * fch)
-            d = amid_scr[fi, :lm1] * ds
-            inv_d = inva_scr[fi, :lm1] * inv_ds
-            ctau = _mxu_prefix_sum(d, tri_ref, lm1)
-
-            def trans_row(e_ctau, fi=fi):
-                trans_ref[0, fi, 0:1] = jnp.ones(
-                    (1, e_ctau.shape[-1]), jnp.float32)
-                trans_ref[0, fi, 1:l] = e_ctau
-
-            tb, tau, tmr = _channel_emission(
-                x, b_scr[fi], d, inv_d, ctau, l, small_dtau,
-                want_trans, trans_row)
-            tb_ref[0, fi:fi + 1] = tb
-            tau_ref[0, fi:fi + 1] = tau
-            tmr_ref[0, fi:fi + 1] = tmr
+        ds = dzr_scr[:] * inv_seg                        # pads exactly 0
+        inv_ds = segsum * invdzr_scr[:]                  # pads exactly 0
+        _channel_sweep(freqs, l, lm1, small_dtau, want_trans, tri_ref,
+                       ds, inv_ds, b_bot_scr, bd_scr, amid_scr, inva_scr,
+                       tb_ref, tau_ref, tmr_ref, trans_ref)
 
     return kernel
 
 
 def _tri_ones(lm1: int) -> jax.Array:
     """Lower-triangular inclusive ones matrix for the MXU prefix scan,
-    padded to the bf16 sublane tile.  Ones are exact in bf16."""
+    padded to the sublane tile, fp32 (the scan dot runs at HIGHEST)."""
     lpad = _pad16(lm1)
-    return jnp.asarray(np.tril(np.ones((lpad, lpad), np.float32)),
-                       jnp.bfloat16)
+    return jnp.asarray(np.tril(np.ones((lpad, lpad), np.float32)))
+
+
+def _pad_rows(a, rows: int, axis: int):
+    """Zero-pad `a` along `axis` up to `rows` (XLA-side, outside kernels)."""
+    have = a.shape[axis]
+    if have == rows:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, rows - have)
+    return jnp.pad(a, widths)
 
 
 @functools.partial(jax.jit, static_argnames=("freqs", "elevations",
@@ -347,6 +402,7 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
     if b % LANES:
         raise ValueError(f"B={b} not a multiple of {LANES}")
     lpad = _pad16(lm1)
+    rpad = _pad16(lpad + 1)
 
     grid = (b // LANES, e)
     kernel = _build_geo_kernel(tuple(freqs), l, alpha_is_mid,
@@ -377,10 +433,11 @@ def forward_lb_fused(freqs: tuple, elevations: tuple, alpha, z_m, n_refr,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32),
-                        pltpu.VMEM((l, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32),
+                        pltpu.VMEM((rpad, LANES), jnp.float32),
                         pltpu.VMEM((lpad, LANES), jnp.float32),
                         pltpu.VMEM((lpad, LANES), jnp.float32),
                         pltpu.VMEM((lpad, LANES), jnp.float32)],
@@ -436,6 +493,9 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
                                       lambda i, ei: (ei, 0, 0, i),
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct((e, nf, l, b), jnp.float32))
+    # Pad the path lengths to the tile rows OUTSIDE the kernel (one XLA
+    # pad, amortized over the whole sweep) so the kernel never concats.
+    ds_pad = _pad_rows(ds_km.astype(jnp.float32), lpad, axis=1)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -444,18 +504,19 @@ def downwelling_lb_fused(freqs: tuple, alpha, ds_km, t_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nf, l_in, LANES), lambda i, ei: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lm1, LANES), lambda i, ei: (ei, 0, i),
+            pl.BlockSpec((1, lpad, LANES), lambda i, ei: (ei, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((l, LANES), lambda i, ei: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((nf, l, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nf, lpad, LANES), jnp.float32),
+                        pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32),
                         pltpu.VMEM((nf, lpad, LANES), jnp.float32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(_tri_ones(lm1), alpha.astype(jnp.float32), ds_km.astype(jnp.float32),
+    )(_tri_ones(lm1), alpha.astype(jnp.float32), ds_pad,
       t_k.astype(jnp.float32))
     out = {"tb": outs[0], "tau_total": outs[1], "t_mr": outs[2]}
     if want_trans_level:

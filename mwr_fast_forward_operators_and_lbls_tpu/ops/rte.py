@@ -318,8 +318,36 @@ def downwelling_tb_adjoint(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
     Returns:
       (g_alpha (B,E,F,L), g_t (B,E,F,L) Planck path only, g_ds (B,E,F,L-1)).
     """
-    f = f_ghz[None, None, :, None]                        # (1,1,F,1)
     alpha_mid = 0.5 * (alpha[..., :-1] + alpha[..., 1:])  # (B,F,K)
+    g_mid, g_t, g_ds = downwelling_tb_adjoint_mid(
+        alpha_mid, ds_km, t_k, f_ghz, t_cosmic)
+    # spread the layer adjoint onto the two bounding levels
+    half = 0.5 * g_mid
+    zeros = jnp.zeros_like(half[..., :1])
+    g_alpha = (jnp.concatenate([half, zeros], -1)
+               + jnp.concatenate([zeros, half], -1))
+    return g_alpha, g_t, g_ds
+
+
+def downwelling_tb_adjoint_mid(alpha_mid, ds_km, t_k, f_ghz,
+                               t_cosmic=phys.T_COSMIC):
+    """`downwelling_tb_adjoint` for LAYER-MEAN extinction inputs.
+
+    The fast operator predicts alpha directly at layer midpoints
+    (models/fast.py::predict_extinction), so its closed-form K-matrix
+    chains through dTB/d(alpha_mid) without the level-spreading step.
+    Same algebra as `downwelling_tb_adjoint` (see that docstring).
+
+    Args:
+      alpha_mid: (B, F, K=L-1) layer-mean extinction [Np/km].
+      ds_km: (B, E, K) slant path lengths [km].
+      t_k:   (B, L) level temperatures [K].
+      f_ghz: (F,).
+    Returns:
+      (g_alpha_mid (B,E,F,K), g_t (B,E,F,L) Planck path only,
+       g_ds (B,E,F,K)).
+    """
+    f = f_ghz[None, None, :, None]                        # (1,1,F,1)
     dtau = alpha_mid[:, None] * ds_km[:, :, None, :]      # (B,E,F,K)
     ctau = jnp.cumsum(dtau, axis=-1)
     t_below = jnp.exp(-(ctau - dtau))                     # (B,E,F,K)
@@ -339,17 +367,15 @@ def downwelling_tb_adjoint(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
     e_prime = dg_bot * b[..., :-1] + dg_top * b[..., 1:]
     w = e_prime * t_below - suffix - cosmic0 * trans_total  # (B,E,F,K)
 
-    half_wds = 0.5 * w * ds_km[:, :, None, :]
-    zeros = jnp.zeros_like(half_wds[..., :1])
-    g_alpha = dtb_dr * (jnp.concatenate([half_wds, zeros], -1)
-                        + jnp.concatenate([zeros, half_wds], -1))
+    g_alpha_mid = dtb_dr * w * ds_km[:, :, None, :]
+    zeros = jnp.zeros_like(w[..., :1])
     bprime = _planck_dT(t_k[:, None, None, :], f)         # (B,1,F,L)
     gbt = g_bot * t_below
     gtt = g_top * t_below
     g_t = dtb_dr * (jnp.concatenate([gbt, zeros], -1)
                     + jnp.concatenate([zeros, gtt], -1)) * bprime
     g_ds = dtb_dr * w * alpha_mid[:, None]
-    return g_alpha, g_t, g_ds
+    return g_alpha_mid, g_t, g_ds
 
 
 def upwelling_tb(alpha, ds_km, t_k, f_ghz, t_surface=None, emissivity=1.0,

@@ -69,10 +69,40 @@ def _screen(profiles: dict):
     return out, mask
 
 
+def _upload(profiles: dict, compress: bool):
+    """Ship one crop's profile payload to the device, asynchronously.
+
+    compress=False: plain fp32 device_put (async — the DMA overlaps any
+    in-flight device compute, which is what lets `forward_stage` pipeline
+    crop k+1's upload behind crop k's program).
+
+    compress=True (opt-in): fp16 ANOMALY encoding — each variable is sent
+    as (v - median_profile) in float16 plus the (L,) fp32 reference row.
+    Straight bf16/fp16 would be useless (T ~ 300 K rounds to ~0.15-1 K
+    steps), but the anomalies span only tens of units, so fp16's 11-bit
+    mantissa keeps the reconstruction error ~1e-2 units — measured < 0.02 K
+    in TB (tests/test_pipeline.py::test_compressed_upload_tb_budget)
+    against the pipeline's 0.05 K accuracy budget — while halving the
+    host->device link traffic that dominates the stage wall over the
+    tunnel (BENCH_r04 forward_stage_upload_frac_of_wall 0.444).
+    """
+    if not compress:
+        return {k: jax.device_put(jnp.asarray(np.asarray(v, np.float32)))
+                for k, v in profiles.items()}, None
+    ref = {k: np.median(np.asarray(v, np.float32), axis=0)
+           for k, v in profiles.items()}
+    payload = {k: jax.device_put(jnp.asarray(
+        (np.asarray(v, np.float32) - ref[k]).astype(np.float16)))
+        for k, v in profiles.items()}
+    ref_dev = {k: jax.device_put(jnp.asarray(r)) for k, r in ref.items()}
+    return payload, ref_dev
+
+
 @functools.partial(jax.jit, static_argnames=("models", "with_jacobians",
                                              "fused", "batch_size"))
 def _stage_device(dev: dict, fast_params, models: tuple,
-                  with_jacobians: bool, fused: bool, batch_size: int):
+                  with_jacobians: bool, fused: bool, batch_size: int,
+                  ref: dict | None = None):
     """The whole forward stage for one crop as ONE device program.
 
     Pads the time axis to a whole number of `batch_size` chunks, then
@@ -83,7 +113,13 @@ def _stage_device(dev: dict, fast_params, models: tuple,
     per-chunk dispatch+pull loop whose tunnel round-trips dominated the
     round-2 wall time (VERDICT r2 Weak #3 / Next #3) and is the unit the
     `forward_stage_device_ms` bench metric times.
+
+    `ref`: per-variable (L,) fp32 reference rows for the fp16-anomaly
+    payload (see `_upload`); reconstruction happens here on device.
     """
+    if ref is not None:
+        dev = {k: v.astype(jnp.float32) + ref[k][None, :]
+               for k, v in dev.items()}
     n = dev["z"].shape[0]
     pad = (-n) % batch_size
     padded = {k: (jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
@@ -123,14 +159,17 @@ def forward_stage(ds: Dataset,
                   fast_params: dict | None = None,
                   with_jacobians: bool = False,
                   batch_size: int = 256,
-                  fused: bool | None = None) -> Dataset:
+                  fused: bool | None = None,
+                  compress_upload: bool = False) -> Dataset:
     """Run the native LBL (all `models`) and optionally the fast operator and
     K-matrix over every (time, Crop) profile at the 10 BL-scan elevations;
     append results to `ds` in the reference layout.
 
     fused: route through the fused-kernel / lanes-batch serving paths.
     Default: on for TPU backends, off elsewhere (the kernels run interpreted
-    off-TPU — correct but slow)."""
+    off-TPU — correct but slow).
+    compress_upload: opt-in fp16-anomaly payload encoding (see `_upload`) —
+    halves the host->device link traffic at a measured < 0.02 K TB cost."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
     n_time = ds.dims["time"]
@@ -144,21 +183,26 @@ def forward_stage(ds: Dataset,
     jac = {name: np.full((n_time, nc, ne, n_lev, 2), np.nan, "f4")
            for name in ("t", "rho", "lwc")} if with_jacobians else {}
 
+    # Upload + dispatch BOTH crops before pulling either result: device_put
+    # and jit dispatch are asynchronous, so crop 1's host->device DMA and
+    # program overlap crop 0's device compute, and crop 0's result pull
+    # overlaps crop 1's compute — the stage wall becomes
+    # ~ max(total upload, total compute) + one pull instead of their sum
+    # (VERDICT r4 Next #3: 44 % of the stage wall was serialized upload).
+    bs = min(batch_size, max(n_time, 1))
+    inflight = []
     for crop in (0, 1):
         raw = preprocess.profiles_for_forward(ds, crop=crop)
         profiles, mask = _screen(raw)
         if not mask.any():
             continue
-        # One host->device upload per crop, ONE device program for the whole
-        # stage (all chunks x all models, lax.map'd on device), one pull of
-        # the full result tree.  Per-chunk dispatch+pull round-trips through
-        # the tunnel were the dominant cost of the round-2 path.
-        dev = {k: jax.device_put(jnp.asarray(v))
-               for k, v in profiles.items()}
-        bs = min(batch_size, max(n_time, 1))
-        res = jax.device_get(_stage_device(
+        dev, ref = _upload(profiles, compress_upload)
+        inflight.append((crop, mask, _stage_device(
             dev, fast_params, tuple(models), bool(with_jacobians),
-            fused, bs))
+            fused, bs, ref)))
+
+    for crop, mask, res_dev in inflight:
+        res = jax.device_get(res_dev)
         for m in models:
             tb = np.array(res["lbl"][m])        # (n, E, F) — writable copy
             tb[~mask] = np.nan

@@ -15,7 +15,11 @@ import jax
 import numpy as np
 import pytest
 
-jax.config.update("jax_platforms", "cpu")
+# MWR_TPU_TESTS=1 leaves the real (tunneled) backend in place so the
+# on-chip gates (e.g. test_fused_vs_xla_tb_on_chip) exercise actual Mosaic
+# lowering — everything else about the suite is identical.
+if not os.environ.get("MWR_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -114,10 +114,12 @@ _FWD_WORKER = textwrap.dedent("""
     assert mesh.devices.size == 4
 
     # The SAME deterministic batch on both processes; each contributes its
-    # two local rows of the globally (4, L)-sharded profile arrays.
+    # two local rows of the globally (4, L)-sharded profile arrays —
+    # at the PRODUCTION 180-level geometry (VERDICT r4 Next #4: toy level
+    # counts can miss shape-dependent sharding bugs).
     cfg = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 19.2, 4.2))
     profiles = {k: np.asarray(v)
-                for k, v in lbl.demo_batch(4, n_levels=24).items()}
+                for k, v in lbl.demo_batch(4, n_levels=180).items()}
     sharding = NamedSharding(mesh, P("data", None))
     placed = {}
     for k, v in profiles.items():
