@@ -50,36 +50,53 @@ _NON_SD = ("R98", "R03", "R16", "R17", "R19", "R20", "R24")
 
 CHECKPOINTS = [
     # ------------------------------------------------------------------
-    # kind="absorption": absolute-scale envelopes (v1, unchanged) — these
-    # bound the overall magnitude against genuinely external curves with
-    # the honest tolerance of figure-reading those sources.
+    # kind="absorption": absolute-scale envelopes — bound the overall
+    # magnitude against genuinely external curves.  Round-5 tightening
+    # (VERDICT r4 Next #7): every envelope is now <= 10 %, anchored at the
+    # published curve value with the nine releases' own spread (<= 6.3 %)
+    # as the margin check; the former 35 % 118-GHz figure-reading anchor
+    # is replaced by the SHARPER pressure-invariance ratio below.
     # ------------------------------------------------------------------
     dict(kind="absorption", name="dry_60GHz_sea_level",
          f_ghz=60.0, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=15.0, rel_tol=0.15, releases="all",
+         alpha_db_km=15.0, rel_tol=0.10, releases="all",
          source="ITU-R P.676 Annex/figures & Rosenkranz (1975): sea-level "
-                "dry-air specific attenuation at 60 GHz ~ 14-16 dB/km"),
-    dict(kind="absorption", name="dry_118GHz_line_center",
-         f_ghz=118.7503, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=1.9, rel_tol=0.35, releases="all",
-         source="ITU-R P.676 dry-air curve: isolated 118.75-GHz O2 line "
-                "peak ~ 1.5-2.5 dB/km at sea level"),
+                "dry-air specific attenuation at 60 GHz ~ 15 dB/km "
+                "(releases compute 16.0-16.1, within 8 %)"),
     dict(kind="absorption", name="h2o_22GHz_7p5gm3",
          f_ghz=22.235, p_hpa=1013.25, t_k=288.15, rho_gm3=7.5,
-         alpha_db_km=0.18, rel_tol=0.25, dry_subtracted=True, releases="all",
+         alpha_db_km=0.18, rel_tol=0.10, dry_subtracted=True, releases="all",
          source="ITU-R P.676 standard-atmosphere water-vapour curve "
                 "(7.5 g/m^3): ~0.19 dB/km total at the 22-GHz line, of "
-                "which ~0.19 is H2O"),
+                "which ~0.012 is dry -> ~0.18 dB/km H2O"),
     dict(kind="absorption", name="h2o_183GHz_7p5gm3",
          f_ghz=183.31, p_hpa=1013.25, t_k=288.15, rho_gm3=7.5,
-         alpha_db_km=30.0, rel_tol=0.5, dry_subtracted=True, releases="all",
+         alpha_db_km=28.5, rel_tol=0.10, dry_subtracted=True, releases="all",
          source="ITU-R P.676 water-vapour curve at 183.31 GHz, 7.5 g/m^3: "
-                "tens of dB/km (order anchor)"),
+                "~28-30 dB/km"),
     dict(kind="absorption", name="window_31GHz_dry",
          f_ghz=31.4, p_hpa=1013.25, t_k=288.15, rho_gm3=0.0,
-         alpha_db_km=0.032, rel_tol=0.5, releases="all",
-         source="ITU-R P.676 dry curve in the 31-GHz window: "
-                "~0.02-0.05 dB/km (O2 wing + N2 continuum)"),
+         alpha_db_km=0.030, rel_tol=0.10, releases="all",
+         source="ITU-R P.676 dry curve in the 31-GHz window: ~0.03 dB/km "
+                "(O2 wing + N2 continuum)"),
+    # ------------------------------------------------------------------
+    # kind="absorption_ratio": exact line-shape invariants.  The peak
+    # absorption of a pressure-broadened line is PRESSURE-INDEPENDENT
+    # (alpha_peak ~ S*n/(pi*gamma) with n ~ P and gamma ~ P — standard
+    # VVW/Lorentz result, e.g. Janssen 1993 ch. 2; Townes & Schawlow),
+    # so alpha_dry(118.7503, 1013 hPa)/alpha_dry(118.7503, 507 hPa) must
+    # be 1 up to the P^2-scaling baseline under the line (~0.4 % here).
+    # This replaces the former 35 % figure-read 118-GHz envelope with a
+    # 5 % anchor that fails on any wrong gamma(P) exponent, strength
+    # prefactor, or mixing normalization.
+    # ------------------------------------------------------------------
+    dict(kind="absorption_ratio", name="o2_118_peak_pressure_invariance",
+         f_ghz=118.7503, t_k=288.15, rho_gm3=0.0,
+         p_hpa_num=1013.25, p_hpa_den=506.625,
+         ratio=1.0, rel_tol=0.05, releases="all",
+         source="pressure-independence of the Lorentzian line-center "
+                "absorption (S*P/(pi*gamma(P)) with gamma ~ P); textbook "
+                "result, see Janssen (1993) eq. 2.52ff"),
     # ------------------------------------------------------------------
     # kind="halfwidth": per-release published air-broadened widths,
     # measured end-to-end from the computed spectrum.  width_ghz_bar is
@@ -308,6 +325,18 @@ def run_checkpoints(model: str, kinds=None, h2o_model=None, o2_model=None,
             value = a * NP_TO_DB
             lo = cp["alpha_db_km"] * (1 - cp["rel_tol"])
             hi = cp["alpha_db_km"] * (1 + cp["rel_tol"])
+        elif cp["kind"] == "absorption_ratio":
+            def _a(p_hpa):
+                if h2o_model is None and o2_model is None:
+                    return float(total_absorption(
+                        cp["f_ghz"], p_hpa, cp["t_k"], cp["rho_gm3"],
+                        model=model))
+                return float(_alpha_np(cp["f_ghz"], p_hpa, cp["t_k"],
+                                       cp["rho_gm3"], model, h2o_model,
+                                       o2_model))
+            value = _a(cp["p_hpa_num"]) / _a(cp["p_hpa_den"])
+            lo = cp["ratio"] * (1 - cp["rel_tol"])
+            hi = cp["ratio"] * (1 + cp["rel_tol"])
         elif cp["kind"] == "halfwidth":
             value = measure_halfwidth_ghz_bar(
                 model, cp["f0_ghz"], cp["p_hpa"], cp["t_k"], cp["rho_gm3"],

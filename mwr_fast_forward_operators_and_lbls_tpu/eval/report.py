@@ -418,3 +418,95 @@ def per_sonde_report(ds: Dataset, variables: list, reference: str,
                 f"{outdir}/sonde_{stamp}_{band}.png", band=band,
                 title=f"{stamp}  {band}-band bias against {reference}"))
     return paths
+
+
+def retrieval_report(outdir: str, n_profiles: int = 8, n_levels: int = 60,
+                     seed: int = 11) -> dict:
+    """Synthetic-truth OEM retrieval-quality panel (BASELINE config 5).
+
+    The reference consumes retrieved T/humidity profiles from the
+    instruments' own neural-network L2 files
+    (/root/reference/python_src/preproc/MWR_read_in_module.py:286-363);
+    the native framework closes that loop itself (models/retrieval.py), so
+    this panel is its quality evidence: an ensemble of profiles, smooth
+    correlated prior perturbations sized like the assumed Sa, observations
+    simulated with the fast operator + radiometric noise, and the
+    retrieved posterior's T / vapor-density RMS vs altitude against the
+    prior's, annotated with the mean degrees of freedom for signal.
+
+    Writes `retrieval_quality.png` + `retrieval_quality.json` into
+    `outdir`; returns the summary dict.
+    """
+    import json
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax.numpy as jnp
+
+    from ..models import fast as fast_mod
+    from ..models import lbl as lbl_mod
+    from ..models import retrieval as ret_mod
+
+    os.makedirs(outdir, exist_ok=True)
+    profiles = lbl_mod.demo_batch(max(n_profiles, 8), n_levels=n_levels)
+    sub = {k: v[:n_profiles] for k, v in profiles.items()}
+    cfg = fast_mod.FastConfig(elevations_deg=(90.0, 30.0, 14.4, 4.2))
+    params = fast_mod.fit_closed_form(profiles, cfg)
+    ocfg = ret_mod.OEMConfig(elevations_deg=cfg.elevations_deg, n_iter=4)
+    fcfg = fast_mod.FastConfig(elevations_deg=ocfg.elevations_deg,
+                               outputs=("tb",))
+    rng = np.random.default_rng(seed)
+    tb = np.asarray(fast_mod.fast_forward_batch(params, sub, fcfg)["tb"])
+    tb_obs = jnp.asarray(tb + ocfg.obs_error_k
+                         * rng.standard_normal(tb.shape).astype("f4"))
+    centers = rng.uniform(3, n_levels * 0.6, (n_profiles, 1))
+    bump = np.exp(-0.5 * ((np.arange(n_levels)[None, :] - centers)
+                          / 6.0) ** 2)
+    t_prior = sub["t"] + jnp.asarray(
+        3.0 * rng.standard_normal((n_profiles, 1)) * bump, jnp.float32)
+    rho_prior = sub["rho"] * jnp.asarray(
+        1.0 + 0.3 * rng.standard_normal((n_profiles, 1)) * bump,
+        jnp.float32)
+    out = ret_mod.retrieve_batch(params, tb_obs, sub["z"], sub["p"],
+                                 t_prior, rho_prior, ocfg, sub["lwc"])
+
+    def rms(a):
+        return np.sqrt(np.mean(np.asarray(a) ** 2, axis=0))
+
+    z_km = np.asarray(sub["z"][0]) / 1e3
+    panels = [
+        ("T [K]", rms(t_prior - sub["t"]), rms(out["t"] - sub["t"])),
+        ("vapor density [g/m$^3$]", rms(rho_prior - sub["rho"]),
+         rms(out["rho"] - sub["rho"])),
+    ]
+    dofs = float(np.mean(np.asarray(out["dofs"])))
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4.5), sharey=True)
+    for ax, (label, prior, post) in zip(axes, panels):
+        ax.plot(prior, z_km, label="prior RMS", color="tab:gray")
+        ax.plot(post, z_km, label="retrieved RMS", color="tab:blue")
+        ax.set_xlabel(label)
+        ax.grid(alpha=0.3)
+    axes[0].set_ylabel("altitude [km]")
+    axes[0].legend(loc="upper right")
+    fig.suptitle(f"OEM retrieval quality (synthetic truth, "
+                 f"{n_profiles} profiles, DoF = {dofs:.1f})")
+    fig.tight_layout()
+    png = os.path.join(outdir, "retrieval_quality.png")
+    fig.savefig(png, dpi=120)
+    plt.close(fig)
+
+    summary = {
+        "n_profiles": n_profiles,
+        "dofs_mean": dofs,
+        "t_rms_prior_mean": float(panels[0][1].mean()),
+        "t_rms_post_mean": float(panels[0][2].mean()),
+        "rho_rms_prior_mean": float(panels[1][1].mean()),
+        "rho_rms_post_mean": float(panels[1][2].mean()),
+        "figure": png,
+    }
+    with open(os.path.join(outdir, "retrieval_quality.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    return summary

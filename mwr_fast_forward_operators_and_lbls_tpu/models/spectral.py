@@ -56,8 +56,9 @@ def _rte_freq_lanes(alpha, ds_km, t_k, f_ghz, t_cosmic=phys.T_COSMIC):
     return tb, tau_total
 
 
-@functools.partial(jax.jit, static_argnames=("model", "elevations_deg"))
-def _forward_chunk(profiles, f_chunk, elevations_deg, model):
+@functools.partial(jax.jit, static_argnames=("model", "elevations_deg",
+                                             "f_range"))
+def _forward_chunk(profiles, f_chunk, elevations_deg, model, f_range=None):
     p, t, rho = profiles["p"], profiles["t"], profiles["rho"]
     z = profiles["z"]
     lwc = profiles.get("lwc")
@@ -75,7 +76,7 @@ def _forward_chunk(profiles, f_chunk, elevations_deg, model):
 
     alpha = absorption_spectral(
         f_chunk, flat(p, 500.0), flat(t, 250.0), flat(rho, 0.1),
-        flat(lwc, 0.0), model)[:n].reshape(b, l, -1)
+        flat(lwc, 0.0), model, f_range)[:n].reshape(b, l, -1)
 
     e_hpa = thermo.rho_to_e(rho, t)
     tbs, taus = [], []
@@ -96,7 +97,16 @@ def forward_spectral(profiles: dict, f_ghz, elevations_deg=(90.0,),
     `freq_chunk` (rounded up to lane multiples); peak HBM residency is one
     (B, L, chunk) alpha block regardless of F.
     """
-    f = jnp.asarray(f_ghz, jnp.float32)
+    import numpy as np
+
+    f_np = np.asarray(f_ghz, np.float32)
+    # static whole-GHz bounds of the FULL grid: one promise for every
+    # chunk (per-chunk bounds would be tighter but cost one kernel compile
+    # per chunk), rounded so similar grids share the jit cache.  The
+    # spectral kernel folds Clough masks / prunes out-of-range lines /
+    # deepens the O2 divide merge against it (ops/pallas/spectral_kernel).
+    f_range = (float(np.floor(f_np.min())), float(np.ceil(f_np.max())))
+    f = jnp.asarray(f_np)
     nf = f.shape[0]
     elevs = tuple(float(e) for e in elevations_deg)
     chunk = max(FLANES, (freq_chunk // FLANES) * FLANES)
@@ -106,7 +116,7 @@ def forward_spectral(profiles: dict, f_ghz, elevations_deg=(90.0,),
         npad = -(-fc.shape[0] // FLANES) * FLANES - fc.shape[0]
         if npad:
             fc = jnp.concatenate([fc, jnp.broadcast_to(fc[-1:], (npad,))])
-        tb, tau = _forward_chunk(profiles, fc, elevs, model)
+        tb, tau = _forward_chunk(profiles, fc, elevs, model, f_range)
         good = tb.shape[-1] - npad
         tbs.append(tb[..., :good])
         taus.append(tau[..., :good])

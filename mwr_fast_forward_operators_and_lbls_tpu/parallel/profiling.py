@@ -195,8 +195,14 @@ _FMA_PRIMS = frozenset(
     "add sub mul max min neg abs sign select_n lt le gt ge eq ne and or xor "
     "not integer_pow floor ceil round is_finite".split())
 _MOV_PRIMS = frozenset(
-    "slice concatenate broadcast_in_dim get swap convert_element_type "
+    "slice concatenate broadcast_in_dim swap convert_element_type "
     "reshape transpose rev pad squeeze expand_dims copy iota".split())
+# VMEM ref reads: issue on the vector unit's dedicated load ports, NOT the
+# ALU issue slot — they overlap the arithmetic bundle, so the model treats
+# them as a CONCURRENT resource (round-5 recalibration: charging them as
+# lane ops made the model exceed the r4 RTE kernel's measured time by 5 %,
+# i.e. the model stopped being a bound; VERDICT r4 Next #6).
+_LOAD_PRIMS = frozenset(("get",))
 _DIV_PRIMS = frozenset("div sqrt rsqrt".split())
 _EXP_PRIMS = frozenset("exp log exp2 log1p expm1 tanh".split())
 
@@ -244,6 +250,8 @@ def _count_jaxpr(jaxpr, counts):
             counts["fma"] += n
         elif name in _MOV_PRIMS:
             counts["mov"] += n
+        elif name in _LOAD_PRIMS:
+            counts["load"] += n
         else:
             counts["other"] += n
 
@@ -307,7 +315,7 @@ def count_pallas_ops(fn, *args) -> dict:
     import numpy as np
 
     jx = jax.make_jaxpr(fn)(*args)
-    counts = {"fma": 0.0, "mov": 0.0, "div": 0.0, "exp": 0.0,
+    counts = {"fma": 0.0, "mov": 0.0, "load": 0.0, "div": 0.0, "exp": 0.0,
               "mxu_macs": 0.0, "other": 0.0, "fused_pairs": 0.0}
     for pc in _find_pallas_eqns(jx.jaxpr, []):
         gm = pc.params.get("grid_mapping")
@@ -322,14 +330,18 @@ def count_pallas_ops(fn, *args) -> dict:
 
 # Measured MXU peak (bf16 MACs/s, fp32 accumulate) for the overlap term.
 DEFAULT_PEAKS.setdefault("mxu", 1.97e14)
+# VMEM load-port throughput (elements/s): 2 load slots x 8x128 lanes x
+# ~0.94 GHz — a concurrent resource alongside the ALU issue ports.
+DEFAULT_PEAKS.setdefault("load", 1.9e12)
 
 
 def pipeline_model_time(counts: dict, peaks: dict | None = None) -> float:
     """Additive issue-time model of one kernel invocation, seconds.
 
     VPU categories serialize on the shared vector issue port, so their
-    times ADD; the MXU runs concurrently, so the model is
-    max(VPU additive time, MXU time).  The raw fma-class count is
+    times ADD; the MXU and the VMEM load ports run concurrently, so the
+    model is max(VPU additive time, MXU time, load-port time).  The raw
+    fma-class count is
     discounted by the jaxpr-derived `fused_pairs` (a multiply feeding its
     single add/sub consumer issues as ONE fma) — a structural property of
     the traced kernel, not a per-run fit.
@@ -341,27 +353,65 @@ def pipeline_model_time(counts: dict, peaks: dict | None = None) -> float:
            + counts["div"] / p["div"]
            + counts["exp"] / p["exp"])
     mxu = counts["mxu_macs"] / p.get("mxu", 1.97e14)
-    return max(vpu, mxu)
+    loads = counts.get("load", 0.0) / p.get("load", 1.9e12)
+    return max(vpu, mxu, loads)
 
 
 def spectral_roofline(n_points: int, n_freqs: int, n_h2o_lines: int = 15,
-                      n_o2_lines: int = 49) -> Roofline:
+                      n_o2_lines: int = 49, model: str = "R24",
+                      f_range=None) -> Roofline:
     """Instruction accounting of the spectral Pallas kernel
     (ops/pallas/spectral_kernel.py) — the 50k-grid BASELINE config 4.
 
-    Unlike the channel kernel, every (point, frequency) pair must evaluate
-    ALL lines with runtime cutoff masks (frequencies are data, so no static
-    line pruning is possible), which is the structural reason the spectral
-    path costs more per point than the channel path.  Per (point, freq):
-    H2O line ~20 lane-wide ops + 1 divide (resonance + mirror share the
-    divide, the Clough pedestal is a precomputed row); O2 line ~19.5 ops +
-    1/2 divide (lines merged pairwise); continua/cloud tail ~27 ops + 3
-    divides.  All transcendentals live in the XLA-precomputed row table
-    (counted in its HBM traffic, amortized over the frequency axis).
+    Frequencies are runtime data, but their RANGE usually is not: with a
+    static `f_range` the kernel prunes out-of-cutoff lines, folds the
+    Clough masks and deepens the O2 divide merge at trace time (round-5
+    rework — the round-4 kernel evaluated every line with runtime masks).
+    This model mirrors that SAME static classification so the bound tracks
+    the algorithm the kernel actually compiles:
+
+      per (point, freq), idealized physics ops —
+      H2O both-halves-in line: ~10 ops + 1/2 divide (resonance + mirror
+        merged, then lines merged pairwise); single-half line ~4.5 + 1/2;
+      boundary line with runtime masks: ~17 + 1/2; out-of-range line: 0;
+      SD (qSD) line: 16 quadrature nodes at ~4.5 ops, depth-2-merged to
+        4 divides, + the mirror rational;
+      O2 line: ~17 ops + 13/49 divide (depth-2 merge at fmax <= 100);
+      continua/cloud tail ~27 ops + 3 divides.
+
+    Without `f_range` the round-4 constants apply (runtime masks, depth-1
+    O2).  All transcendentals live in the XLA-precomputed row table.
     """
     pairs = float(n_points) * n_freqs
-    fma = pairs * (n_h2o_lines * 20.0 + n_o2_lines * 19.5 + 27.0)
-    div = pairs * (n_h2o_lines * 1.0 + n_o2_lines * 0.5 + 3.0)
+    if f_range is None:
+        fma = pairs * (n_h2o_lines * 20.0 + n_o2_lines * 19.5 + 27.0)
+        div = pairs * (n_h2o_lines * 1.0 + n_o2_lines * 0.5 + 3.0)
+    else:
+        from ..ops.pallas.spectral_kernel import _mask_status, _sd_flags
+        from ..constants.h2o_lines import H2O_MODELS
+        statuses = _mask_status(model, f_range)
+        sd = _sd_flags(H2O_MODELS[model])
+        h2o_fma = h2o_div = 0.0
+        for (m1, m2), is_sd in zip(statuses, sd):
+            if m1 == "never" and m2 == "never":
+                continue
+            if is_sd:
+                h2o_fma += 16 * 4.5 + 6.0
+                h2o_div += 4.0 + (0.5 if m2 != "never" else 0.0)
+            elif m1 == "runtime" or m2 == "runtime":
+                h2o_fma += 17.0
+                h2o_div += 0.5
+            elif m1 == "always" and m2 == "always":
+                h2o_fma += 10.0
+                h2o_div += 0.5
+            else:                     # single surviving half
+                h2o_fma += 4.5
+                h2o_div += 0.5
+        o2_depth2 = float(f_range[1]) <= 100.0
+        o2_div = (13.0 if o2_depth2 else 25.0) / n_o2_lines
+        fma = pairs * (h2o_fma + n_o2_lines * (17.0 if o2_depth2 else 15.5)
+                       + 27.0)
+        div = pairs * (h2o_div + n_o2_lines * o2_div + 3.0)
     n_rows = 3 * n_h2o_lines + 5 * n_o2_lines + 9
     hbm = (n_points * n_rows * 4.0     # row table (read once per row-tile)
            + pairs * 4.0)              # alpha out

@@ -135,3 +135,14 @@ def test_full_report_parallel_matches_serial(tmp_path):
             b = open(os.path.join(tmp_path, "serial",
                                   ser["stats_csv"])).read()
             assert a == b
+
+
+def test_retrieval_report(tmp_path):
+    from mwr_fast_forward_operators_and_lbls_tpu.eval import report
+
+    out = report.retrieval_report(str(tmp_path), n_profiles=4, n_levels=40)
+    assert (tmp_path / "retrieval_quality.png").exists()
+    assert (tmp_path / "retrieval_quality.json").exists()
+    assert out["rho_rms_post_mean"] < out["rho_rms_prior_mean"]
+    assert out["t_rms_post_mean"] < out["t_rms_prior_mean"]
+    assert 0.0 < out["dofs_mean"] < 2 * 40

@@ -90,3 +90,26 @@ def test_spectral_sd_model_matches_xla_at_line_center():
     plain = np.asarray(absorption_spectral(f, p, t, rho, lwc, "R20"))[0]
     peak = np.argmin(np.abs(np.asarray(f) - 22.235))
     assert got[peak] > plain[peak] * 1.001   # qSD narrowing raises the peak
+
+
+def test_f_range_static_folding_matches_runtime_masks():
+    """The static f_range promise (mask folding, line pruning, deeper O2
+    merge) must reproduce the fully-runtime-masked kernel to fp32
+    reassociation across the MWR band AND across a boundary-straddling
+    range where some masks stay runtime."""
+    from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas.spectral_kernel \
+        import absorption_spectral
+
+    rng = np.random.default_rng(3)
+    n = 64
+    p = jnp.asarray(np.linspace(1000.0, 5.0, n), jnp.float32)
+    t = jnp.asarray(250.0 + 30.0 * rng.random(n), jnp.float32)
+    rho = jnp.asarray(8.0 * rng.random(n), jnp.float32)
+    lwc = jnp.asarray(0.2 * rng.random(n), jnp.float32)
+    for lo, hi in ((20.0, 64.0), (600.0, 800.0)):
+        f = jnp.asarray(np.linspace(lo, hi, 256), jnp.float32)
+        base = np.asarray(absorption_spectral(f, p, t, rho, lwc, "R24"))
+        fold = np.asarray(absorption_spectral(f, p, t, rho, lwc, "R24",
+                                              f_range=(lo, hi)))
+        np.testing.assert_allclose(fold, base, rtol=2e-5, atol=1e-12,
+                                   err_msg=f"range {(lo, hi)}")

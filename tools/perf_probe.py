@@ -86,7 +86,11 @@ def main():
         "full_forward_ms": round(t_full * 1e3, 4),
         "absorption_kernel_ms": round(t_abs * 1e3, 4),
         "rte_kernel_ms": round(t_rte * 1e3, 4),
-        "glue_ms": round((t_full - t_abs - t_rte) * 1e3, 4),
+        # Stage times are separately-minimized measurements, so their sum
+        # can exceed the full forward by the measurement jitter; the glue
+        # residual is floored at 0 with the raw value kept for honesty.
+        "glue_ms": round(max(t_full - t_abs - t_rte, 0.0) * 1e3, 4),
+        "glue_ms_raw": round((t_full - t_abs - t_rte) * 1e3, 4),
         "spectra_per_s": round(spectra / t_full, 1),
         "strict_bound_ms": round(roof.time_bound_s(peaks) * 1e3, 4),
         "strict_frac": round(roof.time_bound_s(peaks) / t_full, 3),
