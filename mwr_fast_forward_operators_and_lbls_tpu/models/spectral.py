@@ -99,14 +99,20 @@ def forward_spectral(profiles: dict, f_ghz, elevations_deg=(90.0,),
     """
     import numpy as np
 
-    f_np = np.asarray(f_ghz, np.float32)
     # static whole-GHz bounds of the FULL grid: one promise for every
     # chunk (per-chunk bounds would be tighter but cost one kernel compile
     # per chunk), rounded so similar grids share the jit cache.  The
     # spectral kernel folds Clough masks / prunes out-of-range lines /
     # deepens the O2 divide merge against it (ops/pallas/spectral_kernel).
-    f_range = (float(np.floor(f_np.min())), float(np.ceil(f_np.max())))
-    f = jnp.asarray(f_np)
+    # Under a trace (e.g. the shard_map spectral path) the values are not
+    # concrete — fall back to the fully runtime-masked kernel.
+    if isinstance(f_ghz, jax.core.Tracer):
+        f_range = None
+        f = f_ghz.astype(jnp.float32)
+    else:
+        f_np = np.asarray(f_ghz, np.float32)
+        f_range = (float(np.floor(f_np.min())), float(np.ceil(f_np.max())))
+        f = jnp.asarray(f_np)
     nf = f.shape[0]
     elevs = tuple(float(e) for e in elevations_deg)
     chunk = max(FLANES, (freq_chunk // FLANES) * FLANES)

@@ -253,7 +253,7 @@ def kmatrix_assembled_lb(freqs: tuple, which: str, alpha, da, ds, t_k,
     tri_spec = pl.BlockSpec((lpad, lpad), lambda i, ei: (0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [tri_spec, tri_spec, flb_spec, flb_spec, elev_spec, lvl_spec]
-    inputs = [_tri_ones(lm1), _tri_upper_strict(lm1),
+    inputs = [_tri_ones(lm1).astype(jnp.bfloat16), _tri_upper_strict(lm1),
               alpha.astype(jnp.float32), da.astype(jnp.float32),
               ds.astype(jnp.float32), t_k.astype(jnp.float32)]
     if geo:
@@ -315,7 +315,7 @@ def kmatrix_assembled_rho_lwc_lb(freqs: tuple, alpha, da_rho, da_lwc, ds,
                 elev_spec, lvl_spec, elev_spec, elev_spec, lvl_spec,
                 pl.BlockSpec((1, 1, LANES), lambda i, ei: (ei, 0, i),
                              memory_space=pltpu.VMEM)]
-    inputs = [_tri_ones(lm1), _tri_upper_strict(lm1),
+    inputs = [_tri_ones(lm1).astype(jnp.bfloat16), _tri_upper_strict(lm1),
               alpha.astype(jnp.float32), da_rho.astype(jnp.float32),
               da_lwc.astype(jnp.float32),
               ds.astype(jnp.float32), t_k.astype(jnp.float32),

@@ -128,6 +128,30 @@ def _pad16(n: int) -> int:
     return -(-n // 16) * 16
 
 
+def _mxu_prefix_sum(d, tri_ref, lm1: int):
+    """Inclusive prefix sum (or suffix sum, given an upper-triangular
+    matrix) of d (lm1, B) via two bf16 MXU matmuls — the exact hi + lo
+    split (fp32 accumulation keeps a 16-bit mantissa per addend, ~6e-6
+    relative).
+
+    Compatibility surface for the adjoint+assembly kernel
+    (ops/pallas/adjoint_kernel.py), which carries unpadded (lm1, B)
+    operands; the RTE kernels themselves run the fully padded layout and
+    inline this math in `_channel_sweep`."""
+    lpad = tri_ref.shape[0]
+    if lpad != lm1:
+        d = jnp.concatenate(
+            [d, jnp.zeros((lpad - lm1, d.shape[-1]), jnp.float32)], axis=0)
+    d_hi = d.astype(jnp.bfloat16)
+    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tri = tri_ref[:]
+    if tri.dtype != jnp.bfloat16:
+        tri = tri.astype(jnp.bfloat16)      # ones are exact in bf16
+    out = (jnp.dot(tri, d_hi, preferred_element_type=jnp.float32)
+           + jnp.dot(tri, d_lo, preferred_element_type=jnp.float32))
+    return out[:lm1]
+
+
 def _channel_emission(x: float, b_bot, bd, d, inv_d, ctau, lm1: int,
                       small_dtau: float, want_trans, trans_row):
     """Per-channel downwelling integration given PADDED layer opacities.

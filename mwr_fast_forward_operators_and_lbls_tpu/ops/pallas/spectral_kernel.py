@@ -246,6 +246,29 @@ def _pack_rows(model: str, p_hpa, t_k, rho_gm3, lwc_gm3, f_range=None):
     return jnp.stack(rows), list(scalars)
 
 
+# Division strategy for the rational sums: "hw" = hardware fp32 divide
+# (the production setting); "newton" = magic-constant reciprocal seed + 2
+# Newton steps — kept as a measurement instrument only.  Measured on v5e
+# (round 5): newton is just 1.07x faster end-to-end, i.e. the hardware
+# divide costs roughly its modeled ~10 issue slots and the kernel is NOT
+# divide-bound; and the magic seed breaks for the depth-2-merged
+# denominators (bit pattern exceeds the magic constant above ~3e19), so
+# "newton" is NOT production-safe without per-term rescaling.
+_DIV_MODE = "hw"
+
+
+def _rdiv(p, d):
+    """p / d through the selected division strategy (see _DIV_MODE)."""
+    if _DIV_MODE == "hw":
+        return p / d
+    i = jax.lax.bitcast_convert_type(d, jnp.int32)
+    x = jax.lax.bitcast_convert_type(
+        jnp.int32(0x7EF0A3D7) - i, jnp.float32)
+    x = x * (2.0 - d * x)
+    x = x * (2.0 - d * x)
+    return p * x
+
+
 def _merge_rationals(terms, depth: int):
     """Merge a list of (P, D) rationals through a `depth`-level pairwise
     tree: each level halves the number of eventual hardware divides at the
@@ -259,6 +282,44 @@ def _merge_rationals(terms, depth: int):
             merged.append(terms[-1])
         terms = merged
     return terms
+
+
+class _RationalAccum:
+    """Streaming sum of P/D rationals with bounded live state.
+
+    Building ALL per-line rationals and merging at the end (the round-4
+    shape) keeps ~2 x n_lines (ROWS, FLANES) tiles alive simultaneously —
+    measured on v5e to spill so heavily that the kernel ran at ~1/3 of
+    the clean-ILP op rate.  This accumulator merges each consecutive group
+    of `group` rationals into ONE divide as soon as the group completes,
+    so at most `group` pairs (plus the running sum) are ever live.  Same
+    divide count and same per-group merge tree as the batch form.
+    """
+
+    def __init__(self, group: int, acc):
+        self.group = group
+        self.acc = acc
+        self._pend = []
+
+    def add(self, p, d):
+        self._pend.append((p, d))
+        if len(self._pend) == self.group:
+            self._flush()
+
+    def _flush(self):
+        if not self._pend:
+            return
+        terms = self._pend
+        self._pend = []
+        while len(terms) > 1:
+            terms = _merge_rationals(terms, 1)
+        p, d = terms[0]
+        t = _rdiv(p, d)
+        self.acc = t if self.acc is None else self.acc + t
+
+    def result(self):
+        self._flush()
+        return self.acc
 
 
 def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
@@ -299,7 +360,7 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
         # (depth 1: D products reach ~1e22, comfortably fp32), so the
         # common case costs half a hardware divide per line.
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
-        rats = []
+        rac = _RationalAccum(2, None)
         for li in range(nh):
             kind = kinds[li]
             if kind == "skip":
@@ -324,13 +385,13 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                 d1 = f - fl
                 den1 = wsq + d1 * d1
                 den2 = t_ + (2.0 * fl) * f
-                rats.append((sw2 * t_, den1 * den2))
+                rac.add(sw2 * t_, den1 * den2)
                 continue
             if kind in ("single1", "single2"):
                 sw = row(base)
                 wsq = row(base + 1)
                 dfh = f - fl if kind == "single1" else f + fl
-                rats.append((sw, wsq + dfh * dfh))
+                rac.add(sw, wsq + dfh * dfh)
                 continue
             width = row(base)
             s = row(base + 1)        # strength (1/fl^2 prefactor folded in)
@@ -351,14 +412,11 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                     gamma2 = row(base + 3)
                     c0 = width - 1.5 * gamma2
                     d1sq = df1 * df1
-                    terms = []
+                    qacc = _RationalAccum(4, None)
                     for xi, wi in zip(_GL_X, _GL_W):
                         cr = c0 + gamma2 * float(xi)
-                        terms.append((float(wi) * cr, cr * cr + d1sq))
-                    qsum = None
-                    for pj, dj in _merge_rationals(terms, 2):
-                        t_ = pj / dj
-                        qsum = t_ if qsum is None else qsum + t_
+                        qacc.add(float(wi) * cr, cr * cr + d1sq)
+                    qsum = qacc.result()
                     res = s * qsum
                     if m1s == "runtime":
                         m1 = rmask(df1)
@@ -370,11 +428,11 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                     den2 = wsq + df2 * df2
                     if m2s == "runtime":
                         m2 = rmask(df2)
-                        rats.append((m2 * sw, den2))
+                        rac.add(m2 * sw, den2)
                         ped_runtime = m2 * sbase if ped_runtime is None \
                             else ped_runtime + m2 * sbase
                     else:
-                        rats.append((sw, den2))
+                        rac.add(sw, den2)
             else:
                 den1 = wsq + df1 * df1 if m1s != "never" else None
                 den2 = None
@@ -395,12 +453,12 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                     m2 = rmask(f + fl) if m2s == "runtime" else (
                         1.0 if m2s == "always" else 0.0)
                     if den1 is None:
-                        rats.append((m2 * sw, den2))
+                        rac.add(m2 * sw, den2)
                     elif den2 is None:
-                        rats.append((m1 * sw, den1))
+                        rac.add(m1 * sw, den1)
                     else:
-                        rats.append((sw * (m1 * den2 + m2 * den1),
-                                     den1 * den2))
+                        rac.add(sw * (m1 * den2 + m2 * den1),
+                                den1 * den2)
                     ped = 0.0
                     if m1s == "runtime":
                         ped = m1 * sbase
@@ -410,8 +468,9 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                     ped_runtime = None if isinstance(ped, float) else ped
             if ped_runtime is not None:
                 acc = acc - ped_runtime
-        for pj, dj in _merge_rationals(rats, 1):
-            acc = acc + pj / dj
+        rsum = rac.result()
+        if rsum is not None:
+            acc = acc + rsum
         # always-half pedestals, precombined into one row (XLA side)
         acc = acc - row(sidx["ped_always"])
         h2o_alpha = (row(sidx["h2o_scale"]) * f2) * acc \
@@ -437,7 +496,7 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
         # at fmax <= 100, so the quad products stay inside fp32; strengths
         # carry the 1e-14-scale s300 so P*D products stay ~1e-2 scale.
         acc = jnp.zeros((ROWS, FLANES), jnp.float32)
-        rats = []
+        rac = _RationalAccum(2 ** o2_depth, acc)
         for li in range(no):
             f0 = float(o2_f[li])
             base = int(h2o_base[-1]) + o2_rows * li
@@ -456,11 +515,10 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
                 den2 = t_ + (2.0 * f0) * f
             p_i = a2 * t_ + r_mix * (f2 - q)
             den1 = g + d1 * d1
-            rats.append((p_i, den1 * den2))
-        for pj, dj in _merge_rationals(rats, o2_depth):
-            acc = acc + pj / dj
-        nonres = row(sidx["dfnr_over_th"]) * float(o2.nonres_coeff) * f2 \
-            / (f2 + row(sidx["dfnr2"]))
+            rac.add(p_i, den1 * den2)
+        acc = rac.result()
+        nonres = _rdiv(row(sidx["dfnr_over_th"]) * float(o2.nonres_coeff)
+                       * f2, f2 + row(sidx["dfnr2"]))
         o2_alpha = jnp.maximum(
             row(sidx["o2_scale"]) * (f2 * acc + nonres), 0.0)
 
@@ -468,7 +526,8 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
         if model == "R98":
             n2 = row(sidx["n2_b"]) * f2
         else:
-            fdep = 0.5 + 0.5 / (1.0 + (f * (1.0 / 450.0)) ** 2)
+            fdep = 0.5 + _rdiv(0.5 * jnp.ones_like(f),
+                               1.0 + (f * (1.0 / 450.0)) ** 2)
             n2 = row(sidx["n2_b"]) * fdep * f2
 
         # ---- cloud liquid -------------------------------------------------
@@ -480,9 +539,14 @@ def _build_kernel(model: str, n_scalar_rows: int, scalar_names: tuple,
         uu1 = 1.0 + u * u
         vv1 = 1.0 + vv * vv
         d01 = eps0 - eps1
-        re = eps2 + d01 / uu1 + (eps1 - eps2) / vv1
-        im = -d01 * u / uu1 - (eps1 - eps2) * vv / vv1
-        aimag = 3.0 * im / ((re + 2.0) ** 2 + im * im)
+        # ra = d01/uu1 and rb = (eps1-eps2)/vv1 share ONE reciprocal of
+        # uu1*vv1 (both denominators strictly positive)
+        inv_uv = _rdiv(jnp.ones_like(uu1), uu1 * vv1)
+        ra = d01 * (vv1 * inv_uv)
+        rb = (eps1 - eps2) * (uu1 * inv_uv)
+        re = eps2 + ra + rb
+        im = -(ra * u + rb * vv)
+        aimag = _rdiv(3.0 * im, (re + 2.0) ** 2 + im * im)
         liq = (f * aimag) * row(sidx["w_scaled"])
 
         out_ref[:] = h2o_alpha + o2_alpha + n2 + liq

@@ -20,6 +20,21 @@ import pytest
 # lowering — everything else about the suite is identical.
 if not os.environ.get("MWR_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache for the suite: the two xdist workers
+# otherwise compile every shared jit program TWICE per run, and repeat
+# runs recompile everything — the dominant cost of this CPU-bound suite.
+# Lives in /tmp (host-local scratch; safe to delete any time), shared
+# across workers and across runs.  Disable with MWR_NO_TEST_CACHE=1.
+if not os.environ.get("MWR_NO_TEST_CACHE"):
+    _cache = os.environ.get("MWR_TEST_CACHE_DIR", "/tmp/mwr_jax_test_cache")
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -46,7 +61,11 @@ def pytest_collection_modifyitems(config, items):
 def demo_batch():
     from mwr_fast_forward_operators_and_lbls_tpu.models import lbl
 
-    return lbl.demo_batch(4)
+    # 96 levels span the same 0-25 km column at half the
+    # interpret-mode cost; production-geometry (180-level)
+    # parity is covered by the golden gates, the dryrun and
+    # the on-chip tests
+    return lbl.demo_batch(4, n_levels=96)
 
 
 @pytest.fixture(scope="session")

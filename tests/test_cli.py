@@ -137,6 +137,7 @@ def test_cli_evaluate_stratified(chain, tmp_path):
     assert os.path.isdir(os.path.join(outdir, "per_sonde"))
 
 
+@pytest.mark.slow
 def test_cli_evaluate_full_matrix(chain, tmp_path):
     """`evaluate --full` emits the reference's complete analysis matrix:
     campaign x location x seasonal-window x sky cells, each with the

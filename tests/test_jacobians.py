@@ -15,7 +15,7 @@ F_SUB = (22.24, 31.4, 54.94)
 
 @pytest.fixture(scope="module")
 def prof():
-    p = lbl.demo_profile(48, seed=3)
+    p = lbl.demo_profile(32, seed=3)
     return {k: jnp.asarray(v) for k, v in p.items()}
 
 
@@ -86,8 +86,8 @@ def test_kmatrix_batch_shapes(prof):
     cfg = lbl.LBLConfig(model="R24", elevations_deg=(90.0, 4.2),
                         freqs_ghz=F_SUB)
     out = jacobians.kmatrix_batch(profiles, cfg, wrt=("t", "rho"))
-    assert out["t"].shape == (2, 2, 3, 48)
-    assert out["rho"].shape == (2, 2, 3, 48)
+    assert out["t"].shape == (2, 2, 3, 32)
+    assert out["rho"].shape == (2, 2, 3, 32)
     assert np.all(np.isfinite(np.asarray(out["t"])))
 
 
@@ -102,7 +102,7 @@ def test_kmatrix_batch_fast_matches_jacrev(prof):
                                          wrt=("t", "rho", "lwc"))
     for name in ("t", "rho", "lwc"):
         a, b = np.asarray(ref[name]), np.asarray(fastk[name])
-        assert a.shape == b.shape == (3, 3, 3, 48)
+        assert a.shape == b.shape == (3, 3, 3, 32)
         scale = np.abs(a).max()
         np.testing.assert_allclose(b, a, atol=2e-4 * max(scale, 1.0),
                                    err_msg=name)
@@ -154,3 +154,21 @@ def test_kmatrix_fused_tangent_kernel_matches_fallback():
         got, ref = np.asarray(k_fused[name]), np.asarray(k_ref[name])
         scale = np.maximum(np.abs(ref), np.abs(ref).max() * 1e-3)
         assert np.max(np.abs(got - ref) / scale) < 5e-3, name
+
+
+def test_kmatrix_fused_lanes_smoke():
+    """Non-slow smoke of the production fused K-matrix pipeline (dual-number
+    tangent kernel + adjoint+assembly kernel, ADVICE r4): minimal shapes so
+    the interpret-mode run stays fast, asserting agreement with the XLA
+    linearize fallback on wrt=("t",)."""
+    profiles = lbl.demo_batch(1, n_levels=16)
+    cfg = lbl.LBLConfig(model="R24", elevations_deg=(90.0,),
+                        freqs_ghz=(22.24, 54.94))
+    k_fused = jacobians.kmatrix_batch_fast(profiles, cfg, wrt=("t",),
+                                           fused=True)
+    k_ref = jacobians.kmatrix_batch_fast(profiles, cfg, wrt=("t",),
+                                         fused=False)
+    got, ref = np.asarray(k_fused["t"]), np.asarray(k_ref["t"])
+    assert got.shape == ref.shape == (1, 1, 2, 16)
+    scale = np.maximum(np.abs(ref), np.abs(ref).max() * 1e-3)
+    assert np.max(np.abs(got - ref) / scale) < 5e-3

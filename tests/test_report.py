@@ -2,6 +2,7 @@
 import csv
 
 import numpy as np
+import pytest
 
 from mwr_fast_forward_operators_and_lbls_tpu.data.dataset import Dataset
 from mwr_fast_forward_operators_and_lbls_tpu.eval import report
@@ -97,6 +98,7 @@ def test_plot_single_sonde_bias_and_report(tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+@pytest.mark.slow
 def test_full_report_parallel_matches_serial(tmp_path):
     """The process-pool cell renderer (VERDICT r3 Next #3) produces the same
     manifest (cells, figure sets, stats CSVs) as the in-process path."""

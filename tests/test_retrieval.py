@@ -55,8 +55,7 @@ def test_fast_adjoint_k_matches_jacrev(setup):
     z = profiles["z"][i]; p = profiles["p"][i]
     t = profiles["t"][i]; rho = profiles["rho"][i]
     lwc = profiles["lwc"][i]
-    fcfg = fast.FastConfig(elevations_deg=ocfg.elevations_deg,
-                           outputs=("tb",))
+    fcfg = fast.FastConfig(elevations_deg=(90.0, 14.4), outputs=("tb",))
 
     ks = jacobians.kmatrix_fast_adjoint_single(
         params, z, p, t, rho, lwc, fcfg, wrt=("t", "rho"))
@@ -125,18 +124,7 @@ def test_retrieval_truth_recovery_statistics(setup):
     # degrees of freedom for signal: a handful, bounded by the state size
     dofs = np.asarray(out["dofs"])
     assert (dofs > 2.0).all() and (dofs < 2 * l).all()
-
-
-def test_retrieval_batch_shapes(setup):
-    profiles, params, ocfg = setup
-    n = 3
-    fcfg = fast.FastConfig(elevations_deg=ocfg.elevations_deg, outputs=("tb",))
-    tb = fast.fast_forward_batch(
-        params, {k: v[:n] for k, v in profiles.items()}, fcfg)["tb"]
-    out = retrieval.retrieve_batch(
-        params, tb, profiles["z"][:n], profiles["p"][:n],
-        profiles["t"][:n] + 1.0, profiles["rho"][:n],
-        ocfg, profiles["lwc"][:n])
-    assert out["t"].shape == (n, 40)
-    assert out["rho"].shape == (n, 40)
+    # batch-shape contract (folded in here to share the retrieve_batch
+    # compile): vmapped outputs carry (B, L) profiles, all finite
+    assert out["t"].shape == (n, l) and out["rho"].shape == (n, l)
     assert np.isfinite(np.asarray(out["t"])).all()

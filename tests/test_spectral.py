@@ -36,8 +36,10 @@ def test_spectral_chunking_is_seamless(profiles):
                                rtol=0, atol=1e-4)
 
 
-def test_spectrum_has_line_structure(profiles):
-    """The 22.235 GHz water line and the 60 GHz O2 complex must appear."""
+def test_spectrum_line_structure_and_srf(profiles):
+    """ONE 512-point spectrum serves both checks (merged to share the
+    forward_spectral compile): the 22.235 GHz water line and 60 GHz O2
+    complex must appear, and the SRF convolution must reduce correctly."""
     f = jnp.linspace(20.0, 62.0, 512)
     out = spectral.forward_spectral(profiles, f, (90.0,), "R24")
     tau = np.asarray(out["tau_total"])[0, 0]
@@ -46,11 +48,7 @@ def test_spectrum_has_line_structure(profiles):
     assert tau[i22] > 1.2 * tau[i26]          # water-vapor line peak
     assert tau[np.argmin(np.abs(fn - 60.0))] > 10 * tau[i26]  # opaque O2 band
 
-
-def test_srf_convolution(profiles):
-    f = jnp.linspace(22.0, 24.0, 128)
-    out = spectral.forward_spectral(profiles, f, (90.0,), "R98")
-    w = jnp.ones((2, 128)) * jnp.array([[1.0], [0.0]])
+    w = jnp.ones((2, 512)) * jnp.array([[1.0], [0.0]])
     w = w.at[1, 60:68].set(1.0)
     tb_c = spectral.srf_convolve(out["tb"], w)
     assert tb_c.shape == (3, 1, 2)
@@ -92,24 +90,41 @@ def test_spectral_sd_model_matches_xla_at_line_center():
     assert got[peak] > plain[peak] * 1.001   # qSD narrowing raises the peak
 
 
+_F_RANGE_CASES = ((20.0, 64.0),)
+
+
 def test_f_range_static_folding_matches_runtime_masks():
     """The static f_range promise (mask folding, line pruning, deeper O2
     merge) must reproduce the fully-runtime-masked kernel to fp32
-    reassociation across the MWR band AND across a boundary-straddling
-    range where some masks stay runtime."""
+    reassociation across the MWR band; the boundary-straddling case
+    (runtime masks surviving the fold) runs in the slow tier
+    (test_f_range_boundary_straddling_slow)."""
     from mwr_fast_forward_operators_and_lbls_tpu.ops.pallas.spectral_kernel \
         import absorption_spectral
 
     rng = np.random.default_rng(3)
-    n = 64
+    n = 32
     p = jnp.asarray(np.linspace(1000.0, 5.0, n), jnp.float32)
     t = jnp.asarray(250.0 + 30.0 * rng.random(n), jnp.float32)
     rho = jnp.asarray(8.0 * rng.random(n), jnp.float32)
     lwc = jnp.asarray(0.2 * rng.random(n), jnp.float32)
-    for lo, hi in ((20.0, 64.0), (600.0, 800.0)):
+    for lo, hi in _F_RANGE_CASES:
         f = jnp.asarray(np.linspace(lo, hi, 256), jnp.float32)
         base = np.asarray(absorption_spectral(f, p, t, rho, lwc, "R24"))
         fold = np.asarray(absorption_spectral(f, p, t, rho, lwc, "R24",
                                               f_range=(lo, hi)))
         np.testing.assert_allclose(fold, base, rtol=2e-5, atol=1e-12,
                                    err_msg=f"range {(lo, hi)}")
+
+
+@pytest.mark.slow
+def test_f_range_boundary_straddling_slow():
+    """Boundary-straddling f_range: some Clough masks stay runtime and
+    out-of-range lines prune — must still match the unfolded kernel."""
+    global _F_RANGE_CASES
+    saved = _F_RANGE_CASES
+    try:
+        _F_RANGE_CASES = ((600.0, 800.0),)
+        test_f_range_static_folding_matches_runtime_masks()
+    finally:
+        _F_RANGE_CASES = saved
