@@ -225,8 +225,11 @@ def measure_halfwidth_ghz_bar(model: str, f0_ghz: float, p_hpa: float,
     # (where the baseline is fit) is 1/626 of peak, bounding the
     # baseline-subtraction bias on the measured HWHM to ~0.16 % — small
     # against the 2 % tolerance, and small enough that a +3 % width
-    # perturbation cannot hide inside it.
-    f = f0_ghz + np.linspace(-25.0, 25.0, 8001) * gamma
+    # perturbation cannot hide inside it.  4001 points = 0.0125*gamma
+    # resolution; the linear interpolation of the half crossings is exact
+    # to O(step^2) ~ 4e-5 of gamma — far inside the 2 % gate (and the
+    # falsifiability meta-test still fails a +3 % perturbation).
+    f = f0_ghz + np.linspace(-25.0, 25.0, 4001) * gamma
     a = _alpha_np(f, p_hpa, t_k, rho_gm3, model, hm, om)
     # Remove the f^2 prefactor (common to every VVW-family shape) so the
     # measured halfwidth is that of the resonance itself.
