@@ -19,4 +19,7 @@ def pytest_load_initial_conftests(early_config, parser, args):
     for a in args:
         if a == "-n" or a.startswith("-n") or a.startswith("--numprocesses"):
             return
-    args[:] = ["-n", "2"] + args
+    # loadscope keeps each module on one worker so module-scoped fixtures
+    # (LBL forwards, distilled operators, CLI chains) are built once, not
+    # once per worker
+    args[:] = ["-n", "2", "--dist", "loadscope"] + args

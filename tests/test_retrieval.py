@@ -55,7 +55,7 @@ def test_fast_adjoint_k_matches_jacrev(setup):
     z = profiles["z"][i]; p = profiles["p"][i]
     t = profiles["t"][i]; rho = profiles["rho"][i]
     lwc = profiles["lwc"][i]
-    fcfg = fast.FastConfig(elevations_deg=(90.0, 14.4), outputs=("tb",))
+    fcfg = fast.FastConfig(elevations_deg=(14.4,), outputs=("tb",))
 
     ks = jacobians.kmatrix_fast_adjoint_single(
         params, z, p, t, rho, lwc, fcfg, wrt=("t", "rho"))
